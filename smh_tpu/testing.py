@@ -1,0 +1,101 @@
+"""Synthetic frame generation for tests, the fake-input harness, and bench.
+
+The reference ships a screenshot corpus (vision-common/samples) and a
+"Fake Input" debug mode that substitutes samples for live capture
+(src/ui/debug.rs:46-82). This module generates fully synthetic frames with
+*known* ground truth — marker lines, scale bars, the red close-deployment
+button — so the suite can assert detections without any game assets.
+Real reference samples are additionally used by the golden tests when the
+read-only reference checkout is present.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import consts as C
+from .utils.plot import plot_line
+
+# An RGB color that passes the alpha-fireteam marker classifier:
+# HSV (105, 100, 100) -> RGB (64, 255, 0).
+ALPHA_MARKER_RGB = (64, 255, 0)
+# Close-deployment-button red (consts: CLOSE_DEPLOYMENT_BUTTON_COLOR).
+BUTTON_RED_RGB = tuple(int(v) for v in C.CLOSE_DEPLOYMENT_BUTTON_COLOR)
+
+
+def _put_rgb(frame_bgra: np.ndarray, y, x, rgb) -> None:
+    frame_bgra[y, x, 0] = rgb[2]
+    frame_bgra[y, x, 1] = rgb[1]
+    frame_bgra[y, x, 2] = rgb[0]
+
+
+def make_frame(
+    frame_w: int = 1920,
+    frame_h: int = 1080,
+    marker_lines: list[tuple[tuple[int, int], tuple[int, int]]] = (),
+    with_button: bool = True,
+    scale_bars: list[tuple[int, int, int, int]] = (),  # (x, y, width, thickness)
+    background: tuple[int, int, int] = (90, 80, 70),
+    line_thickness: int = 2,
+) -> np.ndarray:
+    """Build a BGRA u8 frame.
+
+    marker_lines are given in *map-ROI* coordinates; scale_bars in *BRQ*
+    coordinates. The background is a non-marker, non-monochrome color so it
+    neither triggers the classifier nor the OCR keep-mask.
+    """
+    g = C.map_geometry(frame_w, frame_h)
+    frame = np.empty((frame_h, frame_w, 4), dtype=np.uint8)
+    frame[..., 0] = background[2]
+    frame[..., 1] = background[1]
+    frame[..., 2] = background[0]
+    frame[..., 3] = 255
+
+    if with_button:
+        frame[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w, 0] = BUTTON_RED_RGB[2]
+        frame[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w, 1] = BUTTON_RED_RGB[1]
+        frame[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w, 2] = BUTTON_RED_RGB[0]
+
+    # Marker lines drawn into the map ROI in the alpha fireteam color.
+    map_view = frame[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w]
+    mask = np.zeros(map_view.shape[:2], dtype=np.uint8)
+    for (x0, y0), (x1, y1) in marker_lines:
+        plot_line(mask, x0, y0, x1, y1, 255)
+    if line_thickness > 1:
+        from .vision.pixmath import dilate_l1_radius1
+
+        for _ in range(line_thickness - 1):
+            mask = dilate_l1_radius1(mask)
+    ys, xs = np.nonzero(mask)
+    _put_rgb(map_view, ys, xs, ALPHA_MARKER_RGB)
+
+    # Scale bars drawn into the BRQ in black: |----| shape, on a white strip
+    # so the binarize keeps the surroundings at 255.
+    if scale_bars:
+        brq_view = frame[g.brq_y : g.brq_y + g.brq_h, g.brq_x : g.brq_x + g.brq_w]
+        for x, y, width, thickness in scale_bars:
+            pad = 8
+            y0 = max(0, y - pad)
+            y1 = min(g.brq_h, y + 4 + pad)
+            x0 = max(0, x - pad)
+            x1 = min(g.brq_w, x + width + 1 + pad)
+            brq_view[y0:y1, x0:x1, :3] = 255
+            # horizontal line
+            brq_view[y : y + thickness, x : x + width + 1, :3] = 0
+            # vertical end bars (4 px down from the line's row)
+            brq_view[y : y + 4, x, :3] = 0
+            brq_view[y : y + 4, x + width, :3] = 0
+
+    return frame
+
+
+def make_ocr_text_patch(
+    frame: np.ndarray, brq_x: int, brq_y: int, w: int = 30, h: int = 12
+) -> None:
+    """Stamp a bright monochrome block into the BRQ (something the OCR
+    preprocess keeps). Does not render a real glyph — tests that need real
+    OCR inject results through the engine seam instead."""
+    g = C.map_geometry(frame.shape[1], frame.shape[0])
+    ys = g.brq_y + brq_y
+    xs = g.brq_x + brq_x
+    frame[ys : ys + h, xs : xs + w, :3] = 230
