@@ -1,0 +1,29 @@
+"""The OCR engine contract.
+
+Counterpart of the reference's OCR surface (vision-ocr/src/lib.rs:31-46 and
+ocr.cpp:26-55): recognize a preprocessed grayscale image, iterate TEXTLINE
+results with text/confidence/bbox. Engines are injectable so the pipeline's
+scales branch is testable without a trained model (the reference cannot do
+that — its Tesseract is a hard dependency).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Protocol
+
+
+@dataclasses.dataclass(frozen=True)
+class OcrResult:
+    text: str
+    confidence: float
+    left: int
+    top: int
+    right: int
+    bottom: int
+
+
+class OcrEngine(Protocol):
+    def read(self, gray, dpi: Optional[int] = None) -> list[OcrResult]:
+        """Recognize text lines in a grayscale u8 image [h, w]."""
+        ...

@@ -1,0 +1,19 @@
+"""Canned OCR engine for tests and the fake-input harness."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .engine import OcrResult
+
+
+class FakeOcrEngine:
+    """Returns pre-scripted results; records what it was asked to read."""
+
+    def __init__(self, results: list[OcrResult]) -> None:
+        self._results = list(results)
+        self.calls: list[tuple[tuple[int, int], Optional[int]]] = []
+
+    def read(self, gray, dpi: Optional[int] = None) -> list[OcrResult]:
+        self.calls.append((tuple(gray.shape), dpi))
+        return list(self._results)

@@ -1,0 +1,172 @@
+"""The fused per-frame TPU pass.
+
+Replaces the reference's per-stage CUDA kernels + 4-stream juggling
+(/root/reference/vision-gpu/src/lib.rs:207-479, cuda/cuda.cu:312-635) with:
+
+  * `red_gate(frame)`    — tiny dispatch over the close-button ROI, scalar out
+                           (mirrors count_close_deployment_button_red_pixels,
+                           cuda.cu:312-352, but as a deterministic mean).
+  * `analyze_frame(...)` — ONE jitted function computing ui_map, the dilated
+                           LSD mask, the OCR image and the scales binarize in
+                           a single traced graph. XLA fuses the HSV/luma/
+                           threshold work so the frame is swept once, instead
+                           of the reference's 3-4 reads of the same pixels
+                           across kernels (cuda.cu:354-406,519-546,616-635).
+
+Everything is shape-specialized per frame resolution ("shape buckets"): the
+reference reallocates per-resolution buffers on resize (vision-gpu:118-124);
+here a resize simply compiles a new bucket, cached by (h, w, flags).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import consts as C
+from . import hsv
+
+F32 = jnp.float32
+
+
+def _bgra_to_rgb(bgra: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([bgra[..., 2], bgra[..., 1], bgra[..., 0]], axis=-1)
+
+
+def _dilate_l1_radius1_bool(m: jnp.ndarray) -> jnp.ndarray:
+    """Cross-shaped (L1 r=1) binary dilation via shifted ORs."""
+    out = m
+    out = out | jnp.pad(m, ((1, 0), (0, 0)))[:-1, :]
+    out = out | jnp.pad(m, ((0, 1), (0, 0)))[1:, :]
+    out = out | jnp.pad(m, ((0, 0), (1, 0)))[:, :-1]
+    out = out | jnp.pad(m, ((0, 0), (0, 1)))[:, 1:]
+    return out
+
+
+def _box_dilate_bool(m: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(2r+1)^2 separable box dilation with edge clamping."""
+    out = m
+    for axis in (0, 1):
+        acc = out
+        for d in range(1, radius + 1):
+            if axis == 0:
+                acc = acc | jnp.pad(out, ((d, 0), (0, 0)))[:-d, :]
+                acc = acc | jnp.pad(out, ((0, d), (0, 0)))[d:, :]
+            else:
+                acc = acc | jnp.pad(out, ((0, 0), (d, 0)))[:, :-d]
+                acc = acc | jnp.pad(out, ((0, 0), (0, d)))[:, d:]
+        out = acc
+    return out
+
+
+def _ocr_preprocess(brq_rgb: jnp.ndarray) -> jnp.ndarray:
+    """Whiteish-text isolation (oracle: smh_tpu/vision/pixmath.py:ocr_preprocess,
+    reference: vision-cpu/src/lib.rs:173-231)."""
+    h, w = brq_rgb.shape[:2]
+    r = brq_rgb[..., 0].astype(jnp.int16)
+    g = brq_rgb[..., 1].astype(jnp.int16)
+    b = brq_rgb[..., 2].astype(jnp.int16)
+    mono = 2 * (jnp.abs(r - g) + jnp.abs(r - b) + jnp.abs(g - b))
+    mn = jnp.minimum(jnp.minimum(brq_rgb[..., 0], brq_rgb[..., 1]), brq_rgb[..., 2])
+
+    strict = (mono <= C.OCR_PREPROCESS_MONOCHROMATICY_THRESHOLD) & (
+        mn >= C.OCR_PREPROCESS_BRIGHTNESS_THRESHOLD
+    )
+    edge_cand = (mono <= C.OCR_PREPROCESS_SIMILARITY_EDGE_THRESHOLD) & (
+        mn >= C.OCR_PREPROCESS_BRIGHTNESS_EDGE_THRESHOLD
+    )
+
+    R = C.OCR_PREPROCESS_DILATE_RADIUS
+    # The reference never examines neighbours in the last R-1 columns/rows
+    # (window upper bound min(x+R, w-R) inclusive, vision-cpu:201-206).
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    clipped = strict & (col <= w - R) & (row <= h - R)
+    near_strict = _box_dilate_bool(clipped, R)
+
+    keep = strict | (edge_cand & near_strict)
+    inv = jnp.uint8(255) - hsv.luma8(brq_rgb)
+    return jnp.where(keep, inv, jnp.uint8(255))
+
+
+@functools.partial(jax.jit, static_argnames=("frame_h", "frame_w"))
+def _red_gate(frame: jnp.ndarray, frame_h: int, frame_w: int) -> jnp.ndarray:
+    g = C.map_geometry(frame_w, frame_h)
+    btn = jax.lax.slice(frame, (g.btn_y, g.btn_x, 0), (g.btn_y + g.btn_h, g.btn_x + g.btn_w, 4))
+    rgb = _bgra_to_rgb(btn).astype(jnp.int16)
+    ok = jnp.ones(rgb.shape[:2], dtype=bool)
+    for i, c in enumerate(C.CLOSE_DEPLOYMENT_BUTTON_COLOR):
+        ok = ok & (jnp.abs(jnp.int16(c) - rgb[..., i]).astype(jnp.uint16) <= C.CLOSE_DEPLOYMENT_BUTTON_TOLERANCE)
+    count = ok.sum(dtype=jnp.int32)
+    return count.astype(F32) / F32(g.btn_w * g.btn_h)
+
+
+def red_gate(frame_dev: jax.Array) -> float:
+    """Fraction of close-deployment-button ROI pixels that are button-red."""
+    h, w = frame_dev.shape[:2]
+    return float(_red_gate(frame_dev, frame_h=h, frame_w=w))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("frame_h", "frame_w", "grayscale", "with_isolated")
+)
+def _analyze(
+    frame: jnp.ndarray,
+    frame_h: int,
+    frame_w: int,
+    grayscale: bool,
+    with_isolated: bool,
+):
+    g = C.map_geometry(frame_w, frame_h)
+
+    map_bgra = jax.lax.slice(
+        frame, (g.map_y, g.map_x, 0), (g.map_y + g.map_h, g.map_x + g.map_w, 4)
+    )
+    map_rgb = _bgra_to_rgb(map_bgra)
+
+    marker = hsv.is_any_map_marker_color(map_rgb)
+
+    # ui_map: what the user sees (crop_to_map, cuda.cu:354-406)
+    if grayscale:
+        l8 = hsv.luma8(map_rgb)
+        ui_map = jnp.stack([l8, l8, l8, jnp.full_like(l8, 255)], axis=-1)
+    else:
+        ui_map = jnp.concatenate(
+            [map_rgb, jnp.full((g.map_h, g.map_w, 1), 255, dtype=jnp.uint8)], axis=-1
+        )
+
+    # LSD mask: the marker predicate + L1 r=1 dilate. Blackening non-marker
+    # pixels (isolate_map_markers) then re-testing (mask_marker_lines) equals
+    # a single predicate evaluation: black never passes the classifier.
+    lsd_mask = jnp.where(_dilate_l1_radius1_bool(marker), jnp.uint8(255), jnp.uint8(0))
+
+    brq_bgra = jax.lax.slice(
+        frame, (g.brq_y, g.brq_x, 0), (g.brq_y + g.brq_h, g.brq_x + g.brq_w, 4)
+    )
+    brq_rgb = _bgra_to_rgb(brq_bgra)
+
+    ocr_img = _ocr_preprocess(brq_rgb)
+    scales_bin = jnp.where(hsv.luma8(brq_rgb) != 0, jnp.uint8(255), jnp.uint8(0))
+
+    out = {
+        "ui_map": ui_map,
+        "lsd_mask": lsd_mask,
+        "ocr_img": ocr_img,
+        "scales_bin": scales_bin,
+    }
+    if with_isolated:
+        out["isolated_map"] = jnp.where(marker[..., None], map_rgb, jnp.uint8(0))
+        out["cropped_brq"] = brq_rgb
+    return out
+
+
+def analyze_frame(
+    frame_dev: jax.Array, grayscale: bool = True, with_isolated: bool = False
+) -> dict:
+    """Run the fused per-frame pass. `frame_dev` is a BGRA u8 device array."""
+    h, w = frame_dev.shape[:2]
+    return _analyze(
+        frame_dev, frame_h=h, frame_w=w, grayscale=grayscale, with_isolated=with_isolated
+    )

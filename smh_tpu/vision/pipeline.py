@@ -1,0 +1,330 @@
+"""The per-frame pipeline driver + backend hot-swap + the 15 FPS loop.
+
+Counterparts:
+  * VisionState::process DAG:  /root/reference/src/vision/mod.rs:36-240
+  * hardware switch/fallback:  /root/reference/src/vision/hardware.rs:7-91
+  * 15 FPS budget loop:        /root/reference/src/vision/mod.rs:243-315
+
+Stage structure mirrors the reference: load -> crop (red gate) -> minimap ||
+(markers-branch || scales-branch) -> debug view, with per-stage timeshares.
+The markers/scales branches run concurrently (the TPU dispatch and the host
+Tesseract call overlap, like the reference's rayon join of the CUDA branch
+and the OCR branch).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import dataclasses
+import logging
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from .. import consts as C
+from ..geometry import Line, Rect
+from ..ocr.engine import OcrEngine, OcrResult
+from ..settings import Settings
+from ..squadex import heightmaps
+from ..squadex.capture import CaptureThread, Frame
+from ..utils.timeshares import Timeshares, timeshare
+from . import find_minimap as fm
+from . import mpx_ratio as mpx
+from .reference import DebugView, ReferenceBackend
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class DebugBox:
+    """Per-frame debug payload (timings, OCR boxes, scale overlays)."""
+
+    timeshares: Timeshares = dataclasses.field(default_factory=Timeshares)
+    ocr: list[OcrResult] = dataclasses.field(default_factory=list)
+    scales: list[tuple[int, Line]] = dataclasses.field(default_factory=list)
+    debug_view: Optional[np.ndarray] = None
+
+
+@dataclasses.dataclass
+class VisionResults:
+    markers: list[Line] = dataclasses.field(default_factory=list)
+    meters_to_px_ratio: Optional[float] = None
+    minimap_bounds: Optional[Rect] = None
+    map: Optional[np.ndarray] = None  # RGBA u8
+    debug_view: Optional[np.ndarray] = None
+
+
+def make_backend(name: str):
+    if name == "tpu":
+        from .tpu_backend import TpuBackend
+
+        return TpuBackend()
+    if name == "numpy":
+        return ReferenceBackend()
+    raise ValueError(f"unknown backend {name!r}")
+
+
+class BackendDelegate:
+    """Runtime backend switch with fallback (hardware.rs:14-45,62-81):
+    hardware_acceleration toggles tpu<->numpy per frame; a TPU failure logs
+    and falls back to numpy for the session."""
+
+    def __init__(self, settings: Settings) -> None:
+        self._settings = settings
+        self._backend = None
+        self._tpu_failed = False
+
+    @property
+    def backend(self):
+        return self._backend
+
+    def current(self):
+        want = "tpu" if (self._settings.hardware_acceleration() and not self._tpu_failed) else "numpy"
+        if self._backend is None or self._backend.name != want:
+            try:
+                self._backend = make_backend(want)
+            except Exception:
+                if want == "tpu":
+                    log.exception("TPU backend init failed; falling back to numpy")
+                    self._tpu_failed = True
+                    self._backend = make_backend("numpy")
+                else:
+                    raise
+        return self._backend
+
+    def mark_tpu_failed(self) -> None:
+        self._tpu_failed = True
+        self._backend = None
+
+
+def _parse_scales(
+    ocr_results: list[OcrResult],
+) -> tuple[list[tuple[int, tuple[int, int]]], Optional[int]]:
+    """Extract "<N>m" scale texts (src/vision/mod.rs:160-193)."""
+    scales: list[tuple[int, tuple[int, int]]] = []
+    scales_start_y: Optional[int] = None
+    for ocr in ocr_results:
+        if not ocr.text.isascii():
+            continue
+        m = ocr.text.rfind("m")
+        if m < 0:
+            continue
+        try:
+            scale = int(ocr.text[:m])
+        except ValueError:
+            continue
+        if scale == 0:
+            continue
+        scales_start_y = ocr.bottom if scales_start_y is None else min(scales_start_y, ocr.bottom)
+        if any(s == scale for s, _ in scales):
+            continue
+        scales.append((scale, ((ocr.left + ocr.right) // 2, ocr.bottom)))
+        if len(scales) == 3:
+            break
+    return scales, scales_start_y
+
+
+class VisionState:
+    """Owns the branch executor and runs the per-frame DAG."""
+
+    def __init__(
+        self,
+        settings: Optional[Settings] = None,
+        ocr_engine: Optional[OcrEngine] = None,
+        debug_view: DebugView = DebugView.NONE,
+        collect_debug_overlays: bool = False,
+    ) -> None:
+        self.settings = settings or Settings(path=None)
+        self.delegate = BackendDelegate(self.settings)
+        self.ocr_engine = ocr_engine
+        self.debug_view = debug_view
+        self.collect_debug_overlays = collect_debug_overlays
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="vision-branch"
+        )
+
+    # ------------------------------------------------------------------
+
+    def process(self, frame: Frame, debug: Optional[DebugBox] = None) -> Optional[VisionResults]:
+        backend = self.delegate.current()
+        try:
+            return self._process(backend, frame, debug)
+        except Exception:
+            if backend.name == "tpu":
+                log.exception("TPU backend failed; falling back to numpy")
+                self.delegate.mark_tpu_failed()
+                return self._process(self.delegate.current(), frame, debug)
+            raise
+
+    def _process(self, backend, frame: Frame, debug: Optional[DebugBox]) -> Optional[VisionResults]:
+        debug = debug if debug is not None else DebugBox()
+        shares = debug.timeshares
+        start = time.perf_counter()
+
+        if hasattr(backend, "set_debug"):
+            backend.set_debug(self.debug_view != DebugView.NONE)
+
+        with timeshare(shares, "load_frame"):
+            backend.load_frame(frame.image)
+
+        with timeshare(shares, "crop_to_map"):
+            cropped = backend.crop_to_map(self.settings.grayscale_map())
+        if cropped is None:
+            shares.entire_frame = time.perf_counter() - start
+            return None  # "sleeping": deployment map closed
+
+        ui_map, (x, y, w, h) = cropped
+        brq_w, brq_h = w // 2, h // 2
+        results = VisionResults(map=ui_map)
+
+        with timeshare(shares, "find_minimap"):
+            cpu_frame = backend.get_cpu_frame()
+            results.minimap_bounds = fm.find_minimap(cpu_frame[y : y + h, x : x + w])
+
+        def markers_branch() -> list[Line]:
+            if not self.settings.detect_markers():
+                return []
+            backend.thread_ctx()
+            with timeshare(shares, "isolate_map_markers"):
+                backend.isolate_map_markers()
+            with timeshare(shares, "mask_marker_lines"):
+                backend.mask_marker_lines()
+            with timeshare(shares, "find_marker_lines"):
+                return backend.find_marker_lines(C.LSD_MAX_GAP)
+
+        def scales_branch() -> Optional[float]:
+            backend.thread_ctx()
+            with timeshare(shares, "ocr_preprocess"):
+                ocr_image = backend.ocr_preprocess()
+
+            dpi = frame.dpi
+            with timeshare(shares, "ocr"):
+                ocr_results = self.ocr_engine.read(ocr_image, dpi)
+
+            if self.collect_debug_overlays:
+                debug.ocr.extend(
+                    dataclasses.replace(
+                        o,
+                        left=o.left + brq_w,
+                        top=o.top + brq_h,
+                        right=o.right + brq_w,
+                        bottom=o.bottom + brq_h,
+                    )
+                    for o in ocr_results
+                )
+
+            scales, scales_start_y = _parse_scales(ocr_results)
+            if not scales or scales_start_y is None:
+                return None
+
+            with timeshare(shares, "find_scales_preprocess"):
+                scales_image = backend.find_scales_preprocess(scales_start_y)
+
+            debug_scales = [] if self.collect_debug_overlays else None
+            with timeshare(shares, "calc_meters_to_px_ratio"):
+                ratio = mpx.calc_meters_to_px_ratio(scales, scales_image, debug_scales)
+            if debug_scales:
+                debug.scales.extend(
+                    (
+                        m,
+                        Line.from_tuple(
+                            (
+                                (l.p0.x + brq_w, l.p0.y + brq_h),
+                                (l.p1.x + brq_w, l.p1.y + brq_h),
+                            )
+                        ),
+                    )
+                    for m, l in debug_scales
+                )
+            return ratio
+
+        # Scales branch is skipped entirely when a heightmap supplies
+        # distances (src/vision/mod.rs:121-123) or no OCR engine exists.
+        run_scales = self.ocr_engine is not None and not heightmaps.is_set()
+        if run_scales:
+            f_markers = self._pool.submit(markers_branch)
+            f_scales = self._pool.submit(scales_branch)
+            results.markers = f_markers.result()
+            results.meters_to_px_ratio = f_scales.result()
+        else:
+            results.markers = markers_branch()
+            results.meters_to_px_ratio = None
+
+        shares.entire_frame = time.perf_counter() - start
+
+        if self.debug_view != DebugView.NONE:
+            results.debug_view = backend.get_debug_view(self.debug_view)
+            debug.debug_view = results.debug_view
+
+        return results
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
+
+
+class VisionLoop:
+    """The 15 FPS budget loop on its own thread (src/vision/mod.rs:243-315).
+
+    `on_update(results_or_none, debug)` is invoked per processed frame
+    (None = sleeping), mirroring ui::update."""
+
+    def __init__(
+        self,
+        state: VisionState,
+        capture: CaptureThread,
+        on_update,
+        fps: float = float(C.VISION_FPS),
+    ) -> None:
+        self.state = state
+        self.capture = capture
+        self.on_update = on_update
+        self._interval = 1.0 / fps
+        self._shutdown = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.fake_input: Optional[np.ndarray] = None  # Fake Input harness
+
+    def _run(self) -> None:
+        while not self._shutdown.is_set():
+            if self.state.settings.paused():
+                self._shutdown.wait(0.05)
+                continue
+
+            if self.fake_input is not None:
+                frame = Frame(self.fake_input, None)
+            else:
+                frame = self.capture.fresh_frame()
+
+            if frame is None:
+                self._shutdown.wait(self._interval)
+                continue
+
+            t0 = time.perf_counter()
+            debug = DebugBox()
+            try:
+                results = self.state.process(frame, debug)
+            except Exception:
+                # Per-frame error tolerance: log and drop the frame
+                # (src/vision/mod.rs:271-277).
+                log.exception("error processing frame")
+                continue
+
+            self.on_update(results, debug)
+
+            elapsed = time.perf_counter() - t0
+            if elapsed < self._interval:
+                self._shutdown.wait(self._interval - elapsed)
+
+        log.info("vision loop shutting down")
+
+    def start(self) -> "VisionLoop":
+        self._thread = threading.Thread(target=self._run, name="vision", daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._shutdown.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        self.state.close()

@@ -1,0 +1,141 @@
+"""TPU vision backend: the production counterpart of the numpy oracle.
+
+Implements the same backend contract as ReferenceBackend (mirroring the
+`Vision` trait, /root/reference/vision-common/src/lib.rs:30-61) on top of the
+fused JAX ops in smh_tpu.ops. Where the reference GPU backend launches one
+CUDA kernel per stage across 4 streams (vision-gpu/src/lib.rs:207-479), this
+backend runs the entire elementwise DAG in ONE jitted dispatch when
+crop_to_map is called; the later stage methods only fetch cached results, so
+the trait-shaped API is preserved without giving up fusion.
+
+Host<->device traffic (the H2D/D2H boundaries of SURVEY.md section 3.1):
+  * one H2D per frame (device_put of the BGRA frame);
+  * D2H of ui_map (for the UI), lsd_mask (for the host seed scan), ocr_img
+    (for Tesseract) and scales_bin (for the scale-bar scan) — the same four
+    transfers the reference performs with pinned buffers
+    (vision-gpu/src/gpuimage.rs:117-167).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .. import consts as C
+from ..geometry import Line, Point
+from ..ops import lsd as ops_lsd
+from ..ops import pipeline as ops_pipeline
+from . import lsd
+from .reference import DebugView
+
+
+class TpuBackend:
+    name = "tpu"
+
+    def __init__(self) -> None:
+        self.frame_np: Optional[np.ndarray] = None
+        self.frame_dev: Optional[jax.Array] = None
+        self.geom: Optional[C.MapGeometry] = None
+        self._results: Optional[dict] = None
+        self._lsd_mask_host: Optional[np.ndarray] = None
+        self._debug = False
+        self._grayscale = True
+
+    def set_debug(self, enabled: bool) -> None:
+        """When enabled, the fused pass also materializes the intermediate
+        images served by get_debug_view (costs extra D2H bandwidth)."""
+        self._debug = enabled
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def thread_ctx(self) -> None:
+        """No-op: JAX owns device contexts (the reference needed per-thread
+        CUDA context binding, vision-gpu/src/cuda.rs:5-13)."""
+
+    def load_frame(self, frame_bgra: np.ndarray) -> None:
+        assert frame_bgra.dtype == np.uint8 and frame_bgra.shape[2] == 4
+        h, w = frame_bgra.shape[:2]
+        if self.geom is None or (self.geom.frame_w, self.geom.frame_h) != (w, h):
+            self.geom = C.map_geometry(w, h)
+        self.frame_np = frame_bgra
+        self.frame_dev = jax.device_put(frame_bgra)
+        self._results = None
+        self._lsd_mask_host = None
+
+    def get_cpu_frame(self) -> np.ndarray:
+        assert self.frame_np is not None
+        return self.frame_np
+
+    # -- stages ---------------------------------------------------------------
+
+    def crop_to_map(self, grayscale: bool) -> Optional[tuple[np.ndarray, tuple[int, int, int, int]]]:
+        assert self.frame_dev is not None and self.geom is not None
+        g = self.geom
+
+        red_ratio = ops_pipeline.red_gate(self.frame_dev)
+        if red_ratio < C.CLOSE_DEPLOYMENT_BUTTON_RED_PIXEL_THRESHOLD:
+            return None
+
+        self._grayscale = grayscale
+        self._results = ops_pipeline.analyze_frame(
+            self.frame_dev, grayscale=grayscale, with_isolated=self._debug
+        )
+        ui_map = np.asarray(self._results["ui_map"])
+        return ui_map, (g.map_x, g.map_y, g.map_w, g.map_h)
+
+    def ocr_preprocess(self) -> np.ndarray:
+        assert self._results is not None
+        return np.asarray(self._results["ocr_img"])
+
+    def find_scales_preprocess(self, scales_start_y: int) -> np.ndarray:
+        assert self._results is not None
+        return np.asarray(self._results["scales_bin"])
+
+    def isolate_map_markers(self) -> None:
+        """Fused into the crop_to_map dispatch."""
+
+    def mask_marker_lines(self) -> None:
+        """Fused into the crop_to_map dispatch; pulls the mask for the scan."""
+        assert self._results is not None
+        self._lsd_mask_host = np.asarray(self._results["lsd_mask"])
+
+    def find_longest_line(self, mask: np.ndarray, pt: Point, max_gap: float) -> tuple[Line, float]:
+        assert self._results is not None
+        return ops_lsd.find_longest_line(self._results["lsd_mask"], pt, max_gap)
+
+    def find_marker_lines(self, max_gap: int) -> list[Line]:
+        if self._lsd_mask_host is None:
+            self.mask_marker_lines()
+        return lsd.find_lines(self._lsd_mask_host, max_gap, self.find_longest_line)
+
+    # -- debug ----------------------------------------------------------------
+
+    def get_debug_view(self, choice: DebugView) -> Optional[np.ndarray]:
+        if self._results is None or choice == DebugView.NONE:
+            return None
+
+        def gray_rgba(img: np.ndarray) -> np.ndarray:
+            out = np.empty((*img.shape, 4), dtype=np.uint8)
+            out[..., 0] = out[..., 1] = out[..., 2] = img
+            out[..., 3] = 255
+            return out
+
+        def rgb_rgba(img: np.ndarray) -> np.ndarray:
+            out = np.empty((*img.shape[:2], 4), dtype=np.uint8)
+            out[..., :3] = img
+            out[..., 3] = 255
+            return out
+
+        if choice == DebugView.OCR_INPUT:
+            return gray_rgba(np.asarray(self._results["ocr_img"]))
+        if choice == DebugView.FIND_SCALES_INPUT:
+            return gray_rgba(np.asarray(self._results["scales_bin"]))
+        if choice == DebugView.LSD_INPUT:
+            return gray_rgba(np.asarray(self._results["lsd_mask"]))
+        if choice == DebugView.LSD_PREPROCESS and "isolated_map" in self._results:
+            return rgb_rgba(np.asarray(self._results["isolated_map"]))
+        if choice == DebugView.CROPPED_BRQ and "cropped_brq" in self._results:
+            return rgb_rgba(np.asarray(self._results["cropped_brq"]))
+        return None
