@@ -1,0 +1,106 @@
+"""Benchmark: full frame -> markers + scales pipeline on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The metric of record (BASELINE.md): p50 latency of the full 4K
+frame->markers+scales pipeline on one chip. The north-star target is 8 ms;
+vs_baseline = 8ms / p50 (>1.0 means the target is beaten). The reference
+publishes no numbers (BASELINE.json "published": {}), so the north star is
+the baseline.
+
+Run on the real TPU: python bench.py            (also: --res 1080p, --quick)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+
+def build_state():
+    from smh_tpu.ocr import FakeOcrEngine, OcrResult
+    from smh_tpu.settings import Settings
+    from smh_tpu.vision.pipeline import VisionState
+
+    settings = Settings(path=None)
+    settings.set("hardware_acceleration", True)
+    # The OCR engine seam is benchmarked separately; the canned engine keeps
+    # the scales branch (preprocess + bar scan) in the measured path without
+    # requiring traineddata in the image.
+    ocr = FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)])
+    return VisionState(settings=settings, ocr_engine=ocr)
+
+
+def make_bench_frame(w: int, h: int) -> np.ndarray:
+    from smh_tpu import testing
+
+    return testing.make_frame(
+        w,
+        h,
+        marker_lines=[
+            ((120, 150), (700, 520)),
+            ((w // 4, h // 3), (w // 4 + 450, h // 3 + 60)),
+        ],
+        scale_bars=[(60, 200, 120, 1)],
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", default="4k", choices=["4k", "1440p", "1080p"])
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    w, h = {"4k": (3840, 2160), "1440p": (2560, 1440), "1080p": (1920, 1080)}[args.res]
+    iters = 8 if args.quick else args.iters
+
+    from smh_tpu.squadex.capture import Frame
+
+    state = build_state()
+    frame = Frame(make_bench_frame(w, h), dpi=96)
+
+    # Warmup: compile all buckets (fused pass + red gate + ray march).
+    for _ in range(3):
+        res = state.process(frame)
+    assert res is not None and len(res.markers) >= 1, "bench frame must detect"
+
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        res = state.process(frame)
+        lat.append(time.perf_counter() - t0)
+    state.close()
+
+    lat_ms = sorted(v * 1000.0 for v in lat)
+    p50 = statistics.median(lat_ms)
+    p90 = lat_ms[int(0.9 * (len(lat_ms) - 1))]
+    fps = 1000.0 / p50
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.res}_frame_to_markers_scales_p50_latency",
+                "value": round(p50, 3),
+                "unit": "ms",
+                "vs_baseline": round(8.0 / p50, 4),
+                "p90_ms": round(p90, 3),
+                "fps_per_chip": round(fps, 2),
+                "iters": iters,
+                "markers_detected": len(res.markers),
+                "meters_to_px_ratio": res.meters_to_px_ratio,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,230 @@
+"""Asyncio web server: one-page HTTP + binary-protocol WebSocket broadcast.
+
+Counterpart of /root/reference/web/src/{lib,http,ws}.rs:
+  * runs on its own thread with its own event loop (lib.rs:242-268);
+  * keeps the latest EventData snapshot and replays it to new clients
+    (ws.rs:31-56);
+  * fans events out to all clients, dropping any client that cannot accept a
+    send within 10 s (ws.rs:92-99);
+  * serves a single inlined HTML page with the WebSocket port substituted
+    for "{{ WEBSOCKET_PORT }}" (http.rs:3-18).
+
+Client interactions (add/delete custom marker) are queued for the app thread
+to drain (lib.rs:282-284).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import pathlib
+import queue
+import socket
+import threading
+from typing import Optional
+
+import numpy as np
+import websockets
+
+from ..geometry import Rect
+from ..squadex.heightmaps import Heightmap
+from . import protocol
+
+log = logging.getLogger(__name__)
+
+WWW = pathlib.Path(__file__).parent / "www"
+SEND_TIMEOUT = 10.0
+
+
+class EventData:
+    """Latest-state snapshot for new clients (web/src/lib.rs:216-225)."""
+
+    def __init__(self) -> None:
+        self.map_bytes: Optional[bytes] = None
+        self.update_state_bytes: Optional[bytes] = None
+        self.cv_markers_bytes: Optional[bytes] = None
+        self.custom_markers_bytes: Optional[bytes] = None
+        self.heightmap_bytes: Optional[bytes] = None
+        self.fit_bytes: bytes = protocol.encode_fit_to_minimap(False)
+
+    def snapshot(self) -> list[bytes]:
+        out = []
+        for b in (
+            self.map_bytes,
+            self.update_state_bytes,
+            self.cv_markers_bytes,
+            self.custom_markers_bytes,
+            self.heightmap_bytes,
+        ):
+            if b is not None:
+                out.append(b)
+        out.append(self.fit_bytes)
+        return out
+
+
+class WebServer:
+    def __init__(self, port: int = 8080, ws_port: Optional[int] = None, host: str = "0.0.0.0") -> None:
+        self.port = port
+        self.ws_port = ws_port if ws_port is not None else port + 1
+        self.host = host
+        self._event_data = EventData()
+        self._clients: set = set()
+        self._interactions: "queue.Queue[protocol.Interaction]" = queue.Queue()
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._thread: Optional[threading.Thread] = None
+        self._started = threading.Event()
+        self._stop_event: Optional[asyncio.Event] = None
+        self.on_interaction = None  # optional callback (app wake)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "WebServer":
+        self._thread = threading.Thread(target=self._run, name="web", daemon=True)
+        self._thread.start()
+        if not self._started.wait(timeout=10.0):
+            raise RuntimeError("web server failed to start")
+        return self
+
+    def stop(self) -> None:
+        if self._loop is not None and self._stop_event is not None:
+            self._loop.call_soon_threadsafe(self._stop_event.set)
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+
+    @property
+    def addr(self) -> str:
+        # LAN address discovery via the UDP connect trick (lib.rs:336-360).
+        try:
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            s.connect(("8.8.8.8", 80))
+            ip = s.getsockname()[0]
+            s.close()
+            return f"http://{ip}:{self.port}"
+        except OSError:
+            return f"http://localhost:{self.port}"
+
+    def num_clients(self) -> int:
+        return len(self._clients)
+
+    # -- app-facing sends (thread-safe) --------------------------------------
+
+    def send_map(self, map_rgba: np.ndarray) -> None:
+        data = protocol.encode_map(map_rgba)
+        self._event_data.map_bytes = data
+        self._broadcast(data)
+
+    def send_markers(self, markers, custom: bool) -> None:
+        data = protocol.encode_markers(markers, custom)
+        if custom:
+            self._event_data.custom_markers_bytes = data
+        else:
+            self._event_data.cv_markers_bytes = data
+        self._broadcast(data)
+
+    def send_update_state(self, ratio: Optional[float], minimap: Optional[Rect]) -> None:
+        data = protocol.encode_update_state(ratio, minimap)
+        self._event_data.update_state_bytes = data
+        self._broadcast(data)
+
+    def send_heightmap(self, hm: Optional[Heightmap]) -> None:
+        data = protocol.encode_heightmap(hm)
+        self._event_data.heightmap_bytes = data
+        self._broadcast(data)
+
+    def send_fit_to_minimap(self, fit: bool) -> None:
+        data = protocol.encode_fit_to_minimap(fit)
+        self._event_data.fit_bytes = data
+        self._broadcast(data)
+
+    def recv(self) -> Optional[protocol.Interaction]:
+        try:
+            return self._interactions.get_nowait()
+        except queue.Empty:
+            return None
+
+    # -- internals ------------------------------------------------------------
+
+    def _broadcast(self, data: bytes) -> None:
+        loop = self._loop
+        if loop is None:
+            return
+        loop.call_soon_threadsafe(self._broadcast_on_loop, data)
+
+    def _broadcast_on_loop(self, data: bytes) -> None:
+        for client in list(self._clients):
+            asyncio.ensure_future(self._send_one(client, data))
+
+    async def _send_one(self, client, data: bytes) -> None:
+        try:
+            await asyncio.wait_for(client.send(data), timeout=SEND_TIMEOUT)
+        except Exception:
+            self._clients.discard(client)
+            try:
+                await client.close()
+            except Exception:
+                pass
+
+    async def _ws_handler(self, websocket) -> None:
+        log.info("WebSocket connection opened with %s", websocket.remote_address)
+        for data in self._event_data.snapshot():
+            await websocket.send(data)
+        self._clients.add(websocket)
+        try:
+            async for msg in websocket:
+                if isinstance(msg, str):
+                    msg = msg.encode()
+                interaction = protocol.decode_interaction(msg)
+                if interaction is None:
+                    log.warning("unknown interaction from %s", websocket.remote_address)
+                    continue
+                self._interactions.put(interaction)
+                if self.on_interaction is not None:
+                    self.on_interaction()
+        except websockets.ConnectionClosed:
+            pass
+        finally:
+            self._clients.discard(websocket)
+            log.info("WebSocket connection closed with %s", websocket.remote_address)
+
+    def _http_response(self) -> bytes:
+        html = (WWW / "index.html").read_text()
+        html = html.replace("{{ WEBSOCKET_PORT }}", str(self.ws_port))
+        body = html.encode()
+        head = (
+            "HTTP/1.1 200 OK\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n"
+            "Connection: Closed\r\n\r\n"
+        ).encode()
+        return head + body
+
+    async def _http_handler(self, reader, writer) -> None:
+        try:
+            await asyncio.wait_for(reader.readline(), timeout=SEND_TIMEOUT)
+            writer.write(self._http_response())
+            await asyncio.wait_for(writer.drain(), timeout=SEND_TIMEOUT)
+        except Exception:
+            pass
+        finally:
+            try:
+                writer.close()
+            except Exception:
+                pass
+
+    def _run(self) -> None:
+        asyncio.run(self._serve())
+
+    async def _serve(self) -> None:
+        self._loop = asyncio.get_running_loop()
+        self._stop_event = asyncio.Event()
+        http_server = await asyncio.start_server(self._http_handler, self.host, self.port)
+        ws_server = await websockets.serve(self._ws_handler, self.host, self.ws_port)
+        log.info("HTTP on %s:%d, WebSocket on %s:%d", self.host, self.port, self.host, self.ws_port)
+        self._started.set()
+        try:
+            await self._stop_event.wait()
+        finally:
+            ws_server.close()
+            await ws_server.wait_closed()
+            http_server.close()
+            await http_server.wait_closed()

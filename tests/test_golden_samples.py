@@ -1,0 +1,88 @@
+"""Golden tests over the reference's real sample corpus.
+
+The goldens (tests/goldens/detections.json) were produced by the numpy
+oracle; these tests pin the oracle (exact regression) and diff the TPU
+backend against it on real game screenshots — the automated cross-backend
+consistency test the reference lacked (SURVEY.md section 4).
+
+Skipped when the read-only reference checkout is absent.
+"""
+
+import json
+import math
+import pathlib
+
+import pytest
+
+from conftest import REFERENCE_SAMPLES, reference_samples_available
+
+GOLDENS = json.loads(
+    (pathlib.Path(__file__).parent / "goldens" / "detections.json").read_text()
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_samples_available(), reason="reference samples not mounted"
+)
+
+# Samples that exercise distinct behaviours, kept fast enough for CI.
+ORACLE_SAMPLES = [
+    "point.png",
+    "point_intersect.png",
+    "points.png",
+    "full_1024x768.png",  # sleeping=False, no lines
+    "fullmapgreen.jpg",
+    "in_mortar.png",
+    "tinyscales.png",
+]
+TPU_SAMPLES = ["point.png", "point_intersect.png", "in_mortar.png"]
+
+
+def run_oracle(name):
+    from smh_tpu.squadex.capture import load_frame_bgra
+    from smh_tpu.vision.reference import ReferenceBackend
+
+    frame = load_frame_bgra(str(REFERENCE_SAMPLES / name))
+    be = ReferenceBackend()
+    be.load_frame(frame)
+    cropped = be.crop_to_map(grayscale=True)
+    if cropped is None:
+        return None
+    be.isolate_map_markers()
+    be.mask_marker_lines()
+    return be.find_marker_lines(15)
+
+
+@pytest.mark.parametrize("name", ORACLE_SAMPLES)
+def test_oracle_matches_golden(name):
+    golden = GOLDENS[name]
+    lines = run_oracle(name)
+    if golden["sleeping"]:
+        assert lines is None
+        return
+    assert lines is not None
+    got = [
+        [round(l.p0.x, 3), round(l.p0.y, 3), round(l.p1.x, 3), round(l.p1.y, 3)]
+        for l in lines
+    ]
+    assert got == golden["lines"]
+
+
+@pytest.mark.parametrize("name", TPU_SAMPLES)
+def test_tpu_matches_golden_detections(name):
+    from smh_tpu.squadex.capture import load_frame_bgra
+    from smh_tpu.vision.tpu_backend import TpuBackend
+
+    golden = GOLDENS[name]
+    assert not golden["sleeping"]
+
+    frame = load_frame_bgra(str(REFERENCE_SAMPLES / name))
+    be = TpuBackend()
+    be.load_frame(frame)
+    assert be.crop_to_map(grayscale=True) is not None
+    lines = be.find_marker_lines(15)
+
+    expected = golden["lines"]
+    assert len(lines) == len(expected), (lines, expected)
+    for l, e in zip(lines, expected):
+        assert math.hypot(l.p0.x - e[0], l.p0.y - e[1]) <= 1.5
+        assert math.hypot(l.p1.x - e[2], l.p1.y - e[3]) <= 1.5

@@ -1,0 +1,77 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from smh_tpu import consts as C
+from smh_tpu.parallel import spmd
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devices = jax.devices("cpu")
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return spmd.make_mesh(devices[:8], sp=2)
+
+
+def test_analyze_batch_sharded_matches_single(mesh8):
+    h, w = 128, 160
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(8, h, w, 4), dtype=np.uint8)
+
+    out = spmd.analyze_batch(jax.numpy.asarray(frames), mesh8)
+    jax.block_until_ready(out)
+
+    # Compare one frame against the unsharded single-frame pass.
+    from smh_tpu.ops import pipeline as ops_pipeline
+
+    single = ops_pipeline.analyze_frame(jax.device_put(frames[3]))
+    assert (np.asarray(out["ui_map"][3]) == np.asarray(single["ui_map"])).all()
+    assert (np.asarray(out["lsd_mask"][3]) == np.asarray(single["lsd_mask"])).all()
+    assert (np.asarray(out["ocr_img"][3]) == np.asarray(single["ocr_img"])).all()
+
+
+def test_full_step_runs_on_mesh(mesh8):
+    h, w = 128, 160
+    g = C.map_geometry(w, h)
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, size=(8, h, w, 4), dtype=np.uint8)
+    pts = np.tile(np.array([[g.map_w / 2, g.map_h / 2]], dtype=np.float32), (8, 1))
+
+    out = spmd.full_step(jax.numpy.asarray(frames), jax.numpy.asarray(pts), mesh8)
+    jax.block_until_ready(out)
+    assert out["red_ratio"].shape == (8,)
+    assert out["best_end"].shape == (8, 2)
+    assert np.isfinite(np.asarray(out["best_length_sqr"])).all()
+
+
+def test_graft_entry_single_chip():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    ui_map, lsd_mask, ocr_img, scales_bin = out
+    assert ui_map.ndim == 3 and ui_map.shape[2] == 4
+    assert lsd_mask.shape == ui_map.shape[:2]
+
+
+def test_graft_entry_dryrun():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry2", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
