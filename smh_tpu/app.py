@@ -1,0 +1,219 @@
+"""Application entry point: capture -> vision -> web, three threads.
+
+Counterpart of /root/reference/src/main.rs:33-124 (thread topology) and the
+UI data bus (src/ui/mod.rs:93-141). The desktop imgui UI is replaced by the
+web client as the primary surface (SURVEY.md 6.1); everything else — frame
+mailbox, 15 FPS vision loop, custom-marker store, heightmap selection, web
+event push — is wired the same way.
+
+Usage:
+  python -m smh_tpu.app --image path/to/frame.png          # single fake frame
+  python -m smh_tpu.app --dir captures/ --port 8080        # cycle a directory
+  python -m smh_tpu.app --synthetic                        # built-in demo frame
+  python -m smh_tpu.app --list-maps --paks ... --ripper .. # heightmap tools
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import signal
+import threading
+from typing import Optional
+
+import numpy as np
+
+from . import consts as C
+from .geometry import Line, Point
+from .ocr import tesseract
+from .settings import Settings
+from .squadex import heightmaps as hm_store
+from .squadex.capture import CaptureThread, DirectorySource, StaticSource, load_frame_bgra
+from .vision.pipeline import VisionLoop, VisionState
+from .web.server import WebServer
+from .web import protocol
+
+log = logging.getLogger(__name__)
+
+
+class App:
+    """Owns the threads and the UI-data bus between vision and web."""
+
+    def __init__(
+        self,
+        source,
+        settings: Optional[Settings] = None,
+        port: int = 8080,
+        ocr_engine=None,
+        serve: bool = True,
+    ) -> None:
+        self.settings = settings or Settings()
+        self.ocr_engine = ocr_engine if ocr_engine is not None else tesseract.create_default_engine()
+        self.state = VisionState(settings=self.settings, ocr_engine=self.ocr_engine)
+        self.capture = CaptureThread(source)
+        self.loop = VisionLoop(self.state, self.capture, self._on_update)
+        self.web = WebServer(port=port) if serve else None
+        self.custom_markers: list[tuple[tuple[float, float], tuple[float, float]]] = []
+        self._lock = threading.Lock()
+        self._shutdown = threading.Event()
+
+    # -- vision -> web push (src/ui/map.rs:222-233, state.rs:81-88) ---------
+
+    def _on_update(self, results, debug) -> None:
+        if self.web is None:
+            return
+        if results is None:
+            return  # sleeping: keep the last map on clients
+        if results.map is not None:
+            self.web.send_map(results.map)
+        self.web.send_markers(
+            [((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in results.markers], custom=False
+        )
+        self.web.send_update_state(results.meters_to_px_ratio, results.minimap_bounds)
+        self._drain_interactions()
+
+    # -- web -> app interactions (src/ui/web.rs:131-144) --------------------
+
+    def _drain_interactions(self) -> None:
+        assert self.web is not None
+        changed = False
+        while True:
+            inter = self.web.recv()
+            if inter is None:
+                break
+            with self._lock:
+                if isinstance(inter, protocol.AddCustomMarker):
+                    self.custom_markers.append((inter.p0, inter.p1))
+                    changed = True
+                elif isinstance(inter, protocol.DeleteCustomMarker):
+                    if 0 <= inter.index < len(self.custom_markers):
+                        self.custom_markers.pop(inter.index)
+                        changed = True
+        if changed:
+            with self._lock:
+                markers = list(self.custom_markers)
+            self.web.send_markers(markers, custom=True)
+
+    # -- heightmap selection (src/ui/heightmaps.rs:590-593) ------------------
+
+    def select_heightmap(self, hm) -> None:
+        hm_store.set_current(hm)
+        if self.web is not None:
+            self.web.send_heightmap(hm)
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> "App":
+        if self.web is not None:
+            self.web.start()
+            log.info("web UI at %s", self.web.addr)
+        self.capture.start()
+        self.loop.start()
+        return self
+
+    def stop(self) -> None:
+        self._shutdown.set()
+        self.loop.stop()
+        self.capture.stop()
+        if self.web is not None:
+            self.web.stop()
+
+    def wait(self) -> None:
+        try:
+            while not self._shutdown.wait(0.5):
+                pass
+        except KeyboardInterrupt:
+            pass
+
+
+def _build_source(args):
+    from . import testing
+
+    if args.image:
+        return StaticSource(load_frame_bgra(args.image), dpi=args.dpi)
+    if args.dir:
+        return DirectorySource(args.dir, dpi=args.dpi)
+    frame = testing.make_frame(
+        1920, 1080,
+        marker_lines=[((120, 150), (700, 520))],
+        scale_bars=[(60, 200, 120, 1)],
+    )
+    return StaticSource(frame, dpi=args.dpi)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Squad Mortar Helper (TPU-native)")
+    src = ap.add_mutually_exclusive_group()
+    src.add_argument("--image", help="use a single screenshot as the frame source")
+    src.add_argument("--dir", help="cycle screenshots from a directory")
+    src.add_argument("--synthetic", action="store_true", help="built-in demo frame")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--dpi", type=int, default=None)
+    ap.add_argument("--backend", choices=["tpu", "numpy"], default=None)
+    ap.add_argument("--no-web", action="store_true")
+    ap.add_argument("--settings", default="settings.json")
+    ap.add_argument("--dumplogs", action="store_true", help="also log to smh.log")
+    # heightmap tooling (counterpart of the heightmap browser UI flows)
+    ap.add_argument("--list-maps", action="store_true")
+    ap.add_argument("--rip", metavar="MAP_PATH", help="rip a heightmap and cache as .smhhm")
+    ap.add_argument("--paks", nargs="*", default=[])
+    ap.add_argument("--aes", default=None)
+    ap.add_argument("--ripper", default=None, help="ripper executable override")
+    ap.add_argument("--heightmap", help="load a .smhhm heightmap at startup")
+    args = ap.parse_args(argv)
+
+    handlers = [logging.StreamHandler()]
+    if args.dumplogs:
+        handlers.append(logging.FileHandler("smh.log"))
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        handlers=handlers,
+    )
+
+    if args.list_maps or args.rip:
+        from .heightmaps import ripper
+        from .squadex import heightmaps as hms
+
+        exe = args.ripper or ripper.DEFAULT_EXE
+        if args.list_maps:
+            for layer in ripper.list_maps(args.paks, args.aes, exe=exe):
+                print(layer)
+            return 0
+        hm = ripper.get_heightmap(args.paks, args.aes, args.rip, exe=exe)
+        if hm is None:
+            print("layer has no heightmap")
+            return 1
+        out = args.rip.replace("/", "_") + ".smhhm"
+        hms.save_smhhm(out, hm)
+        print(f"wrote {out} ({hm.width}x{hm.height})")
+        return 0
+
+    settings = Settings(path=args.settings)
+    if args.backend:
+        settings.set("hardware_acceleration", args.backend == "tpu")
+
+    app = App(_build_source(args), settings=settings, port=args.port, serve=not args.no_web)
+
+    if args.heightmap:
+        from .squadex import heightmaps as hms
+
+        hm = hms.load_smhhm(args.heightmap)
+        if hm is None:
+            log.error("failed to load heightmap %s", args.heightmap)
+            return 1
+        app.select_heightmap(hm)
+
+    def handle_sigint(signum, frame):
+        log.info("shutting down...")
+        app._shutdown.set()
+
+    signal.signal(signal.SIGINT, handle_sigint)
+
+    app.start()
+    app.wait()
+    app.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

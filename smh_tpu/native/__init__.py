@@ -1,0 +1,126 @@
+"""Native C++ host module: build-on-first-use, ctypes-loaded, optional.
+
+The reference ships its host hot loops as Rust+rayon; here they are C++
+(+OpenMP) behind a C ABI. If the toolchain or build fails, everything
+gracefully falls back to the numpy oracle — the native module is a
+performance path, never a correctness dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import pathlib
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+from .. import consts as C
+from ..geometry import Line, Point
+
+log = logging.getLogger(__name__)
+
+_HERE = pathlib.Path(__file__).resolve().parent
+_SRC = _HERE / "smhnative.cpp"
+_SO = _HERE / "libsmhnative.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-fopenmp",
+        "-shared",
+        "-fPIC",
+        "-o",
+        str(_SO),
+        str(_SRC),
+        "-lm",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired, FileNotFoundError) as e:
+        log.warning("native build failed: %s", e)
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError as e:
+            log.warning("native load failed: %s", e)
+            return None
+
+        lib.smh_find_longest_line.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.smh_find_lines.restype = ctypes.c_int
+        lib.smh_find_lines.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def find_longest_line(mask: np.ndarray, pt: Point, max_gap: float) -> tuple[Line, float]:
+    lib = load()
+    assert lib is not None
+    mask = np.ascontiguousarray(mask)
+    h, w = mask.shape
+    out = (ctypes.c_float * 5)()
+    lib.smh_find_longest_line(
+        mask.ctypes.data_as(ctypes.c_void_p), h, w,
+        ctypes.c_float(pt.x), ctypes.c_float(pt.y), ctypes.c_float(max_gap), out,
+    )
+    line = Line(Point(out[0], out[1]), Point(out[2], out[3]))
+    return line, float(out[4])
+
+
+def find_lines(mask: np.ndarray, max_gap: int, max_lines: int = C.LSD_MAX_LINES) -> list[Line]:
+    lib = load()
+    assert lib is not None
+    mask = np.ascontiguousarray(mask)
+    h, w = mask.shape
+    out = (ctypes.c_float * (max_lines * 4))()
+    n = lib.smh_find_lines(
+        mask.ctypes.data_as(ctypes.c_void_p), h, w, int(max_gap), int(max_lines),
+        ctypes.c_float(C.LSD_MIN_LENGTH_SQR), ctypes.c_float(C.LSD_DEDUP_DIST_SQR), out,
+    )
+    return [
+        Line(Point(out[i * 4], out[i * 4 + 1]), Point(out[i * 4 + 2], out[i * 4 + 3]))
+        for i in range(n)
+    ]

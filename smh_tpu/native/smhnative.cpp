@@ -1,0 +1,220 @@
+// Native host hot loops for smh_tpu.
+//
+// The line-segment search is scalar pointer-chasing — the one workload in
+// the pipeline that vector units (TPU or otherwise) fundamentally dislike.
+// The TPU path (smh_tpu/ops/lsd.py) batches it as dense span scans; this
+// module is the host-side engine for the same computation, semantically
+// identical to the numpy oracle (smh_tpu/vision/reference.py), which in turn
+// ports vision-cpu/src/lib.rs:387-449 + vision-common/src/lsd.rs:5-107 from
+// the reference. float accumulation matches Rust's f32 ops exactly.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in the image).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr int N_ANGLES = 3600;
+constexpr float PI_F = 3.14159265358979323846f;
+
+struct LineResult {
+    float x0, y0, x1, y1, len2;
+};
+
+inline bool in_bounds_f(float x, float y, int w, int h) {
+    return x >= 0.0f && y >= 0.0f && x < (float)w && y < (float)h;
+}
+
+// Exact port of the oracle's single-angle ray march (vision-cpu:388-432).
+inline void march_one(const uint8_t* mask, int h, int w, float x_start,
+                      float y_start, float max_gap, float dx, float dy,
+                      float* out_xe, float* out_ye) {
+    float x = x_start, y = y_start;
+    float x_end = x_start, y_end = y_start;
+    float gap0 = 0.0f, gap_sx = 0.0f, gap_sy = 0.0f;
+    float x_off = 0.0f, y_off = 0.0f;
+
+    while (in_bounds_f(x, y, w, h)) {
+        const uint8_t px = mask[(uint32_t)y * (uint32_t)w + (uint32_t)x];
+        if (px == 255) {
+            gap0 = 0.0f; gap_sx = 0.0f; gap_sy = 0.0f;
+        } else if (gap0 >= max_gap) {
+            x = gap_sx; y = gap_sy;
+            break;
+        } else if (gap0 == 0.0f) {
+            gap0 = 1.0f; gap_sx = x; gap_sy = y;
+        } else {
+            gap0 += 1.0f;
+        }
+        x_off += dx;
+        y_off += dy;
+        x = x_off + x_start;
+        y = y_off + y_start;
+    }
+
+    // Final check with Rust's saturating f32->u32 cast (negatives -> 0).
+    const uint32_t xi = x < 0.0f ? 0u : (uint32_t)x;
+    const uint32_t yi = y < 0.0f ? 0u : (uint32_t)y;
+    if (xi < (uint32_t)w && yi < (uint32_t)h && mask[yi * (uint32_t)w + xi] == 0) {
+        x_end = x - dx;
+        y_end = y - dy;
+    }
+    *out_xe = x_end;
+    *out_ye = y_end;
+}
+
+inline void longest_line(const uint8_t* mask, int h, int w, float px, float py,
+                         float max_gap, LineResult* out) {
+    float best_len = -1.0f;
+    int best_idx = -1;
+    float best_xe = px, best_ye = py;
+
+#ifdef _OPENMP
+#pragma omp parallel
+    {
+        float loc_len = -1.0f;
+        int loc_idx = -1;
+        float loc_xe = px, loc_ye = py;
+#pragma omp for nowait schedule(static)
+        for (int a = 0; a < N_ANGLES; a++) {
+            const float theta = ((float)a / 10.0f) * (PI_F / 180.0f);
+            const float dx = cosf(theta), dy = sinf(theta);
+            float xe, ye;
+            march_one(mask, h, w, px, py, max_gap, dx, dy, &xe, &ye);
+            const float l = (px - xe) * (px - xe) + (py - ye) * (py - ye);
+            // ties -> higher angle index ("last max wins", like the
+            // reference's right-biased fold)
+            if (l > loc_len || (l == loc_len && a > loc_idx)) {
+                loc_len = l; loc_idx = a; loc_xe = xe; loc_ye = ye;
+            }
+        }
+#pragma omp critical
+        {
+            if (loc_len > best_len || (loc_len == best_len && loc_idx > best_idx)) {
+                best_len = loc_len; best_idx = loc_idx;
+                best_xe = loc_xe; best_ye = loc_ye;
+            }
+        }
+    }
+#else
+    for (int a = 0; a < N_ANGLES; a++) {
+        const float theta = ((float)a / 10.0f) * (PI_F / 180.0f);
+        const float dx = cosf(theta), dy = sinf(theta);
+        float xe, ye;
+        march_one(mask, h, w, px, py, max_gap, dx, dy, &xe, &ye);
+        const float l = (px - xe) * (px - xe) + (py - ye) * (py - ye);
+        if (l > best_len || (l == best_len && a > best_idx)) {
+            best_len = l; best_idx = a; best_xe = xe; best_ye = ye;
+        }
+    }
+#endif
+
+    out->x0 = px; out->y0 = py;
+    out->x1 = best_xe; out->y1 = best_ye;
+    out->len2 = best_len < 0.0f ? 0.0f : best_len;
+}
+
+// Centre snap (vision-common/src/lsd.rs:5-44). Out-of-bounds reads count as
+// non-white (the reference uses unchecked reads and never hits the edge).
+inline void get_centre(const uint8_t* mask, int h, int w, float inx, float iny,
+                       float* outx, float* outy) {
+    const float MAX_DIST = 5.0f;
+    const int yi = (int)iny;
+    const int xi = (int)inx;
+
+    auto white = [&](int x, int y) -> bool {
+        return x >= 0 && x < w && y >= 0 && y < h && mask[(size_t)y * w + x] == 255;
+    };
+
+    float left = inx;
+    while (left > 0.0f && fabsf(left - inx) < MAX_DIST && white((int)left, yi)) left -= 1.0f;
+    float right = inx;
+    while (right < (float)(w - 1) && fabsf(right - inx) < MAX_DIST && white((int)right, yi)) right += 1.0f;
+    float up = iny;
+    while (up > 0.0f && fabsf(up - iny) < MAX_DIST && white(xi, (int)up)) up -= 1.0f;
+    float down = iny;
+    while (down < (float)(h - 1) && fabsf(down - iny) < MAX_DIST && white(xi, (int)down)) down += 1.0f;
+
+    *outx = (left + right) / 2.0f;
+    *outy = (up + down) / 2.0f;
+}
+
+inline void nearest_on_line(double ptx, double pty, double x0, double y0,
+                            double x1, double y1, double* nx, double* ny) {
+    const double dx = x1 - x0, dy = y1 - y0;
+    if (dx == 0.0 && dy == 0.0) { *nx = x0; *ny = y0; return; }
+    const double u = ((ptx - x0) * dx + (pty - y0) * dy) / (dx * dx + dy * dy);
+    *nx = x0 + u * dx;
+    *ny = y0 + u * dy;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Longest line from one seed. out = {x0, y0, x1, y1, len2}.
+void smh_find_longest_line(const uint8_t* mask, int h, int w, float px,
+                           float py, float max_gap, float* out) {
+    LineResult r;
+    longest_line(mask, h, w, px, py, max_gap, &r);
+    out[0] = r.x0; out[1] = r.y0; out[2] = r.x1; out[3] = r.y1; out[4] = r.len2;
+}
+
+// Full seed scan with suppression (vision-common/src/lsd.rs:60-107).
+// out_lines holds max_lines*4 floats (x0,y0,x1,y1); returns #lines.
+int smh_find_lines(const uint8_t* mask, int h, int w, int max_gap,
+                   int max_lines, float min_len_sqr, float dedup_dist_sqr,
+                   float* out_lines) {
+    if (max_lines <= 0) return 0;
+    const float mg = (float)max_gap;
+    int n_lines = 0;
+
+    for (int y = 0; y < h; y++) {
+        for (int x = 0; x < w; x++) {
+            if (mask[(size_t)y * w + x] != 255) continue;
+
+            // suppression against accepted lines (infinite-line distance)
+            bool suppressed = false;
+            for (int i = 0; i < n_lines; i++) {
+                double nx, ny;
+                nearest_on_line((double)x, (double)y, out_lines[i * 4 + 0],
+                                out_lines[i * 4 + 1], out_lines[i * 4 + 2],
+                                out_lines[i * 4 + 3], &nx, &ny);
+                const double ddx = (double)x - nx, ddy = (double)y - ny;
+                if (ddx * ddx + ddy * ddy < (double)dedup_dist_sqr) {
+                    suppressed = true;
+                    break;
+                }
+            }
+            if (suppressed) continue;
+
+            float cx, cy;
+            get_centre(mask, h, w, (float)x, (float)y, &cx, &cy);
+
+            LineResult r;
+            longest_line(mask, h, w, cx, cy, mg, &r);
+
+            if (r.len2 > min_len_sqr) {
+                float ex, ey;
+                get_centre(mask, h, w, r.x1, r.y1, &ex, &ey);
+                out_lines[n_lines * 4 + 0] = r.x0;
+                out_lines[n_lines * 4 + 1] = r.y0;
+                out_lines[n_lines * 4 + 2] = ex;
+                out_lines[n_lines * 4 + 3] = ey;
+                n_lines++;
+                if (n_lines == max_lines) return n_lines;
+            }
+        }
+    }
+    return n_lines;
+}
+
+int smh_native_version() { return 1; }
+
+}  // extern "C"

@@ -61,6 +61,31 @@ def _box_dilate_bool(m: jnp.ndarray, radius: int) -> jnp.ndarray:
     return out
 
 
+def _edgy_quiet(map_bgra: jnp.ndarray) -> jnp.ndarray:
+    """Low-edginess mask for the minimap finder.
+
+    quiet[y,x] <=> max over the 8 neighbours of sum_BGR |a-b| <= 7, which is
+    exactly `get_edginess <= 0.01` in the reference
+    (src/vision/find_minimap.rs:9-46: 7/765 <= 0.01 < 8/765). Pure integer
+    math -> bit-exact with the host oracle. The 1-px border is forced False
+    (the walks never sample closer than 3 px from an edge)."""
+    bgr = map_bgra[..., :3].astype(jnp.int16)
+    h, w = bgr.shape[:2]
+
+    best = jnp.zeros((h - 2, w - 2), dtype=jnp.int16)
+    centre = bgr[1:-1, 1:-1]
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 1 and dx == 1:
+                continue
+            nb = bgr[dy : dy + h - 2, dx : dx + w - 2]
+            d = jnp.abs(centre - nb).sum(axis=-1).astype(jnp.int16)
+            best = jnp.maximum(best, d)
+
+    quiet = best <= 7
+    return jnp.pad(quiet, ((1, 1), (1, 1)), constant_values=False)
+
+
 def _ocr_preprocess(brq_rgb: jnp.ndarray) -> jnp.ndarray:
     """Whiteish-text isolation (oracle: smh_tpu/vision/pixmath.py:ocr_preprocess,
     reference: vision-cpu/src/lib.rs:173-231)."""
@@ -155,6 +180,7 @@ def _analyze(
         "lsd_mask": lsd_mask,
         "ocr_img": ocr_img,
         "scales_bin": scales_bin,
+        "minimap_quiet": _edgy_quiet(map_bgra),
     }
     if with_isolated:
         out["isolated_map"] = jnp.where(marker[..., None], map_rgb, jnp.uint8(0))

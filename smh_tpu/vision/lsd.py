@@ -64,6 +64,8 @@ def find_lines(
     max_gap: int,
     find_longest_line: FindLongestLine,
     max_lines: int = C.LSD_MAX_LINES,
+    find_longest_lines_batch=None,
+    batch_size: int = 8,
 ) -> list[Line]:
     """Row-major seed scan with suppression near accepted lines.
 
@@ -105,24 +107,59 @@ def find_lines(
         alive[d2 < C.LSD_DEDUP_DIST_SQR] = False
 
     lines: list[Line] = []
-    i = 0
     n = ys.size
-    while i < n:
-        if not alive[i]:
+
+    if find_longest_lines_batch is None:
+        i = 0
+        while i < n:
+            if not alive[i]:
+                i += 1
+                continue
+            alive[i] = False
+            pt = Point(float(xs[i]), float(ys[i]))
+            pt = get_centre(mask, pt)
+
+            longest, max_length = find_longest_line(mask, pt, max_gap_f)
+
+            if max_length > C.LSD_MIN_LENGTH_SQR:
+                longest = Line(longest.p0, get_centre(mask, longest.p1))
+                lines.append(longest)
+                if len(lines) == max_lines:
+                    break
+                suppress(longest)
             i += 1
-            continue
-        alive[i] = False
-        pt = Point(float(xs[i]), float(ys[i]))
-        pt = get_centre(mask, pt)
+        return lines
 
-        longest, max_length = find_longest_line(mask, pt, max_gap_f)
+    # Speculative seed batching: march the next `batch_size` unsuppressed
+    # candidates in ONE device dispatch, then replay acceptance/suppression
+    # sequentially on the results. A candidate suppressed by a line accepted
+    # earlier *within the batch* is simply discarded — the oracle would have
+    # skipped it before marching, and marching is pure, so outcomes and
+    # ordering are identical to the sequential scan.
+    i = 0
+    while i < n and len(lines) < max_lines:
+        batch_idx: list[int] = []
+        j = i
+        while j < n and len(batch_idx) < batch_size:
+            if alive[j]:
+                batch_idx.append(j)
+            j += 1
+        if not batch_idx:
+            break
 
-        if max_length > C.LSD_MIN_LENGTH_SQR:
-            longest = Line(longest.p0, get_centre(mask, longest.p1))
-            lines.append(longest)
-            if len(lines) == max_lines:
-                break
-            suppress(longest)
-        i += 1
+        pts = [get_centre(mask, Point(float(xs[k]), float(ys[k]))) for k in batch_idx]
+        results = find_longest_lines_batch(mask, pts, max_gap_f)
+
+        for k, (longest, max_length) in zip(batch_idx, results):
+            if not alive[k]:
+                continue  # suppressed by an earlier in-batch acceptance
+            alive[k] = False
+            if max_length > C.LSD_MIN_LENGTH_SQR:
+                longest = Line(longest.p0, get_centre(mask, longest.p1))
+                lines.append(longest)
+                if len(lines) == max_lines:
+                    break
+                suppress(longest)
+        i = j
 
     return lines

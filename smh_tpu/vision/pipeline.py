@@ -180,8 +180,13 @@ class VisionState:
         results = VisionResults(map=ui_map)
 
         with timeshare(shares, "find_minimap"):
-            cpu_frame = backend.get_cpu_frame()
-            results.minimap_bounds = fm.find_minimap(cpu_frame[y : y + h, x : x + w])
+            quiet_fn = getattr(backend, "minimap_quiet_map", None)
+            quiet = quiet_fn() if callable(quiet_fn) else None
+            if quiet is not None:
+                results.minimap_bounds = fm.find_minimap_quiet(quiet)
+            else:
+                cpu_frame = backend.get_cpu_frame()
+                results.minimap_bounds = fm.find_minimap(cpu_frame[y : y + h, x : x + w])
 
         def markers_branch() -> list[Line]:
             if not self.settings.detect_markers():

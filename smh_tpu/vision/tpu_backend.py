@@ -34,7 +34,11 @@ from .reference import DebugView
 class TpuBackend:
     name = "tpu"
 
-    def __init__(self) -> None:
+    def __init__(self, lsd_engine: str = "auto") -> None:
+        """lsd_engine: "native" (C++ host march), "tpu" (batched device
+        march), or "auto" (native when the toolchain built it, else tpu).
+        Both reproduce the oracle's semantics; native is the faster host path
+        for this scalar-chasing workload (SURVEY.md section 7 "hard parts")."""
         self.frame_np: Optional[np.ndarray] = None
         self.frame_dev: Optional[jax.Array] = None
         self.geom: Optional[C.MapGeometry] = None
@@ -42,6 +46,11 @@ class TpuBackend:
         self._lsd_mask_host: Optional[np.ndarray] = None
         self._debug = False
         self._grayscale = True
+        if lsd_engine == "auto":
+            from .. import native
+
+            lsd_engine = "native" if native.available() else "tpu"
+        self.lsd_engine = lsd_engine
 
     def set_debug(self, enabled: bool) -> None:
         """When enabled, the fused pass also materializes the intermediate
@@ -85,6 +94,12 @@ class TpuBackend:
         ui_map = np.asarray(self._results["ui_map"])
         return ui_map, (g.map_x, g.map_y, g.map_w, g.map_h)
 
+    def minimap_quiet_map(self) -> Optional[np.ndarray]:
+        """Low-edginess mask from the fused pass (find_minimap fast path)."""
+        if self._results is None:
+            return None
+        return np.asarray(self._results["minimap_quiet"])
+
     def ocr_preprocess(self) -> np.ndarray:
         assert self._results is not None
         return np.asarray(self._results["ocr_img"])
@@ -105,10 +120,23 @@ class TpuBackend:
         assert self._results is not None
         return ops_lsd.find_longest_line(self._results["lsd_mask"], pt, max_gap)
 
+    def _find_longest_lines_batch(self, mask: np.ndarray, pts: list[Point], max_gap: float):
+        assert self._results is not None
+        return ops_lsd.find_longest_lines_batch(self._results["lsd_mask"], pts, max_gap)
+
     def find_marker_lines(self, max_gap: int) -> list[Line]:
         if self._lsd_mask_host is None:
             self.mask_marker_lines()
-        return lsd.find_lines(self._lsd_mask_host, max_gap, self.find_longest_line)
+        if self.lsd_engine == "native":
+            from .. import native
+
+            return native.find_lines(self._lsd_mask_host, max_gap)
+        return lsd.find_lines(
+            self._lsd_mask_host,
+            max_gap,
+            self.find_longest_line,
+            find_longest_lines_batch=self._find_longest_lines_batch,
+        )
 
     # -- debug ----------------------------------------------------------------
 

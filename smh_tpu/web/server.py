@@ -151,24 +151,31 @@ class WebServer:
         loop.call_soon_threadsafe(self._broadcast_on_loop, data)
 
     def _broadcast_on_loop(self, data: bytes) -> None:
-        for client in list(self._clients):
-            asyncio.ensure_future(self._send_one(client, data))
-
-    async def _send_one(self, client, data: bytes) -> None:
-        try:
-            await asyncio.wait_for(client.send(data), timeout=SEND_TIMEOUT)
-        except Exception:
-            self._clients.discard(client)
+        # Per-client queues: websockets forbids concurrent send() calls, and a
+        # slow client must not block the rest (10 s policy, ws.rs:92-99). A
+        # client whose queue overflows is treated as dead.
+        for q in list(self._clients):
             try:
-                await client.close()
-            except Exception:
-                pass
+                q.put_nowait(data)
+            except asyncio.QueueFull:
+                q.put_nowait_dropped = True  # type: ignore[attr-defined]
 
     async def _ws_handler(self, websocket) -> None:
         log.info("WebSocket connection opened with %s", websocket.remote_address)
         for data in self._event_data.snapshot():
             await websocket.send(data)
-        self._clients.add(websocket)
+
+        queue: asyncio.Queue = asyncio.Queue(maxsize=256)
+        self._clients.add(queue)
+
+        async def sender():
+            while True:
+                data = await queue.get()
+                if getattr(queue, "put_nowait_dropped", False):
+                    raise ConnectionError("client send queue overflow")
+                await asyncio.wait_for(websocket.send(data), timeout=SEND_TIMEOUT)
+
+        sender_task = asyncio.ensure_future(sender())
         try:
             async for msg in websocket:
                 if isinstance(msg, str):
@@ -183,7 +190,8 @@ class WebServer:
         except websockets.ConnectionClosed:
             pass
         finally:
-            self._clients.discard(websocket)
+            self._clients.discard(queue)
+            sender_task.cancel()
             log.info("WebSocket connection closed with %s", websocket.remote_address)
 
     def _http_response(self) -> bytes:
