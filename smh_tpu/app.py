@@ -155,10 +155,13 @@ def main(argv=None) -> int:
     ap.add_argument("--dumplogs", action="store_true", help="also log to smh.log")
     # heightmap tooling (counterpart of the heightmap browser UI flows)
     ap.add_argument("--list-maps", action="store_true")
-    ap.add_argument("--rip", metavar="MAP_PATH", help="rip a heightmap and cache as .smhhm")
+    ap.add_argument("--rip", metavar="MAP_PATH", help="rip a heightmap into the .smhhm cache")
     ap.add_argument("--paks", nargs="*", default=[])
     ap.add_argument("--aes", default=None)
     ap.add_argument("--ripper", default=None, help="ripper executable override")
+    ap.add_argument("--cache-dir", default="heightmaps")
+    ap.add_argument("--skip-cache", action="store_true")
+    ap.add_argument("--export-png", metavar="OUT.png", help="with --rip: export L16 PNG")
     ap.add_argument("--heightmap", help="load a .smhhm heightmap at startup")
     args = ap.parse_args(argv)
 
@@ -171,21 +174,24 @@ def main(argv=None) -> int:
     )
 
     if args.list_maps or args.rip:
-        from .heightmaps import ripper
-        from .squadex import heightmaps as hms
+        from .heightmaps import browser, ripper
 
         exe = args.ripper or ripper.DEFAULT_EXE
         if args.list_maps:
             for layer in ripper.list_maps(args.paks, args.aes, exe=exe):
                 print(layer)
             return 0
-        hm = ripper.get_heightmap(args.paks, args.aes, args.rip, exe=exe)
+        hm = browser.load_or_rip(
+            args.rip, args.paks, args.aes,
+            cache_dir=args.cache_dir, exe=exe, skip_cache=args.skip_cache,
+        )
         if hm is None:
             print("layer has no heightmap")
             return 1
-        out = args.rip.replace("/", "_") + ".smhhm"
-        hms.save_smhhm(out, hm)
-        print(f"wrote {out} ({hm.width}x{hm.height})")
+        print(f"cached {args.rip} ({hm.width}x{hm.height}) in {args.cache_dir}/")
+        if args.export_png:
+            browser.export_png(hm, args.export_png)
+            print(f"wrote {args.export_png}")
         return 0
 
     settings = Settings(path=args.settings)

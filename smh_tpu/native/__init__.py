@@ -32,6 +32,9 @@ _tried = False
 
 
 def _build() -> bool:
+    # Emit the shared consts header (the counterpart of the reference's
+    # toml-consts codegen, which pre-includes consts.cu into nvcc builds).
+    (_HERE / "smh_consts.h").write_text(C.generate_c_header())
     cmd = [
         "g++",
         "-O3",

@@ -14,13 +14,15 @@
 #include <cstdint>
 #include <cstring>
 
+#include "smh_consts.h"  // generated from consts.toml by smh_tpu/consts.py
+
 #ifdef _OPENMP
 #include <omp.h>
 #endif
 
 namespace {
 
-constexpr int N_ANGLES = 3600;
+constexpr int N_ANGLES = (int)LSD_NUM_ANGLES;
 constexpr float PI_F = 3.14159265358979323846f;
 
 struct LineResult {

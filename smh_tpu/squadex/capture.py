@@ -70,6 +70,49 @@ class DirectorySource:
         return Frame(next(self._iter), self._dpi)
 
 
+class BlackoutFallbackSource:
+    """Primary/fallback source pair with blackout detection.
+
+    Mirrors the reference's capture "Blackout" state machine
+    (src/squadex/capture/windows.rs:9-47,148-158,274-278): when the primary
+    source produces all-black frames (the DX12-fullscreen window-capture
+    failure mode), switch to the fallback source; periodically re-probe the
+    primary (the reference re-probes when the window handle changes; without
+    window handles we re-probe every `reprobe_every` grabs).
+    """
+
+    def __init__(self, primary: FrameSource, fallback: FrameSource, reprobe_every: int = 60) -> None:
+        self._primary = primary
+        self._fallback = fallback
+        self._reprobe_every = reprobe_every
+        self._blackout = False
+        self._since_probe = 0
+
+    @staticmethod
+    def _is_black(frame: Optional[Frame]) -> bool:
+        if frame is None:
+            return True
+        return not frame.image[..., :3].any()
+
+    def grab(self) -> Optional[Frame]:
+        if self._blackout:
+            self._since_probe += 1
+            if self._since_probe >= self._reprobe_every:
+                self._since_probe = 0
+                probe = self._primary.grab()
+                if not self._is_black(probe):
+                    self._blackout = False
+                    return probe
+            return self._fallback.grab()
+
+        frame = self._primary.grab()
+        if self._is_black(frame):
+            self._blackout = True
+            self._since_probe = 0
+            return self._fallback.grab()
+        return frame
+
+
 def load_frame_bgra(path: str) -> np.ndarray:
     """Load an image file as a BGRA frame array."""
     from PIL import Image
