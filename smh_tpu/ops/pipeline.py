@@ -61,6 +61,24 @@ def _box_dilate_bool(m: jnp.ndarray, radius: int) -> jnp.ndarray:
     return out
 
 
+def pack_bits(mask_bool: jnp.ndarray) -> jnp.ndarray:
+    """Pack a bool [h, w] mask into u8 [h, ceil(w/8)] (MSB-first, matching
+    np.unpackbits). D2H bandwidth is the pipeline's scarcest resource —
+    ~20 MB/s through this host relay — so binary masks travel as bits."""
+    h, w = mask_bool.shape
+    w8 = ((w + 7) // 8) * 8
+    padded = jnp.pad(mask_bool, ((0, 0), (0, w8 - w))).reshape(h, w8 // 8, 8)
+    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.uint8)
+    return (padded.astype(jnp.uint8) * weights[None, None, :]).sum(axis=2, dtype=jnp.int32).astype(jnp.uint8)
+
+
+def unpack_bits_host(packed: "np.ndarray", w: int) -> "np.ndarray":
+    """Host-side inverse of pack_bits -> 0/1 u8 [h, w]."""
+    import numpy as np
+
+    return np.unpackbits(packed, axis=1)[:, :w]
+
+
 def _edgy_quiet(map_bgra: jnp.ndarray) -> jnp.ndarray:
     """Low-edginess mask for the minimap finder.
 
@@ -153,19 +171,18 @@ def _analyze(
 
     marker = hsv.is_any_map_marker_color(map_rgb)
 
-    # ui_map: what the user sees (crop_to_map, cuda.cu:354-406)
+    # ui_map: what the user sees (crop_to_map, cuda.cu:354-406). Grayscale
+    # travels as a single luma plane (the host expands to RGBA): 4x less D2H.
     if grayscale:
-        l8 = hsv.luma8(map_rgb)
-        ui_map = jnp.stack([l8, l8, l8, jnp.full_like(l8, 255)], axis=-1)
+        ui = hsv.luma8(map_rgb)
     else:
-        ui_map = jnp.concatenate(
-            [map_rgb, jnp.full((g.map_h, g.map_w, 1), 255, dtype=jnp.uint8)], axis=-1
-        )
+        ui = map_rgb
 
     # LSD mask: the marker predicate + L1 r=1 dilate. Blackening non-marker
     # pixels (isolate_map_markers) then re-testing (mask_marker_lines) equals
     # a single predicate evaluation: black never passes the classifier.
-    lsd_mask = jnp.where(_dilate_l1_radius1_bool(marker), jnp.uint8(255), jnp.uint8(0))
+    lsd_bool = _dilate_l1_radius1_bool(marker)
+    lsd_mask = jnp.where(lsd_bool, jnp.uint8(255), jnp.uint8(0))
 
     brq_bgra = jax.lax.slice(
         frame, (g.brq_y, g.brq_x, 0), (g.brq_y + g.brq_h, g.brq_x + g.brq_w, 4)
@@ -173,14 +190,15 @@ def _analyze(
     brq_rgb = _bgra_to_rgb(brq_bgra)
 
     ocr_img = _ocr_preprocess(brq_rgb)
-    scales_bin = jnp.where(hsv.luma8(brq_rgb) != 0, jnp.uint8(255), jnp.uint8(0))
+    scales_bool = hsv.luma8(brq_rgb) != 0
 
     out = {
-        "ui_map": ui_map,
-        "lsd_mask": lsd_mask,
+        "ui": ui,  # [h,w] luma when grayscale else [h,w,3] rgb
+        "lsd_mask": lsd_mask,  # full mask, stays device-side for the march
+        "lsd_bits": pack_bits(lsd_bool),
+        "scales_bits": pack_bits(scales_bool),
+        "quiet_bits": pack_bits(_edgy_quiet(map_bgra)),
         "ocr_img": ocr_img,
-        "scales_bin": scales_bin,
-        "minimap_quiet": _edgy_quiet(map_bgra),
     }
     if with_isolated:
         out["isolated_map"] = jnp.where(marker[..., None], map_rgb, jnp.uint8(0))

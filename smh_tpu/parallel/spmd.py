@@ -111,7 +111,7 @@ def full_step(frames: jax.Array, pts: jax.Array, mesh: Mesh) -> dict:
     best_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
     return {
         "red_ratio": outs["red_ratio"],
-        "ui_map": outs["ui_map"],
+        "ui": outs["ui"],
         "best_end": best_ends,
         "best_length_sqr": best_len,
     }

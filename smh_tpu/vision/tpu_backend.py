@@ -91,30 +91,43 @@ class TpuBackend:
         self._results = ops_pipeline.analyze_frame(
             self.frame_dev, grayscale=grayscale, with_isolated=self._debug
         )
-        ui_map = np.asarray(self._results["ui_map"])
+
+        # D2H is the scarcest resource on this host link (~20 MB/s): the
+        # grayscale ui travels as one luma plane and is expanded here.
+        ui = np.asarray(self._results["ui"])
+        ui_map = np.empty((g.map_h, g.map_w, 4), dtype=np.uint8)
+        if ui.ndim == 2:
+            ui_map[..., 0] = ui_map[..., 1] = ui_map[..., 2] = ui
+        else:
+            ui_map[..., :3] = ui
+        ui_map[..., 3] = 255
         return ui_map, (g.map_x, g.map_y, g.map_w, g.map_h)
 
     def minimap_quiet_map(self) -> Optional[np.ndarray]:
         """Low-edginess mask from the fused pass (find_minimap fast path)."""
-        if self._results is None:
+        if self._results is None or self.geom is None:
             return None
-        return np.asarray(self._results["minimap_quiet"])
+        bits = np.asarray(self._results["quiet_bits"])
+        return ops_pipeline.unpack_bits_host(bits, self.geom.map_w).astype(bool)
 
     def ocr_preprocess(self) -> np.ndarray:
         assert self._results is not None
         return np.asarray(self._results["ocr_img"])
 
     def find_scales_preprocess(self, scales_start_y: int) -> np.ndarray:
-        assert self._results is not None
-        return np.asarray(self._results["scales_bin"])
+        """Returns the binarized BRQ as 0/255 u8 (bit-unpacked from device)."""
+        assert self._results is not None and self.geom is not None
+        bits = np.asarray(self._results["scales_bits"])
+        return ops_pipeline.unpack_bits_host(bits, self.geom.brq_w) * np.uint8(255)
 
     def isolate_map_markers(self) -> None:
         """Fused into the crop_to_map dispatch."""
 
     def mask_marker_lines(self) -> None:
         """Fused into the crop_to_map dispatch; pulls the mask for the scan."""
-        assert self._results is not None
-        self._lsd_mask_host = np.asarray(self._results["lsd_mask"])
+        assert self._results is not None and self.geom is not None
+        bits = np.asarray(self._results["lsd_bits"])
+        self._lsd_mask_host = ops_pipeline.unpack_bits_host(bits, self.geom.map_w) * np.uint8(255)
 
     def find_longest_line(self, mask: np.ndarray, pt: Point, max_gap: float) -> tuple[Line, float]:
         assert self._results is not None
@@ -159,9 +172,11 @@ class TpuBackend:
         if choice == DebugView.OCR_INPUT:
             return gray_rgba(np.asarray(self._results["ocr_img"]))
         if choice == DebugView.FIND_SCALES_INPUT:
-            return gray_rgba(np.asarray(self._results["scales_bin"]))
+            return gray_rgba(self.find_scales_preprocess(0))
         if choice == DebugView.LSD_INPUT:
-            return gray_rgba(np.asarray(self._results["lsd_mask"]))
+            if self._lsd_mask_host is None:
+                self.mask_marker_lines()
+            return gray_rgba(self._lsd_mask_host)
         if choice == DebugView.LSD_PREPROCESS and "isolated_map" in self._results:
             return rgb_rgba(np.asarray(self._results["isolated_map"]))
         if choice == DebugView.CROPPED_BRQ and "cropped_brq" in self._results:

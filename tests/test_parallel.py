@@ -28,7 +28,7 @@ def test_analyze_batch_sharded_matches_single(mesh8):
     from smh_tpu.ops import pipeline as ops_pipeline
 
     single = ops_pipeline.analyze_frame(jax.device_put(frames[3]))
-    assert (np.asarray(out["ui_map"][3]) == np.asarray(single["ui_map"])).all()
+    assert (np.asarray(out["ui"][3]) == np.asarray(single["ui"])).all()
     assert (np.asarray(out["lsd_mask"][3]) == np.asarray(single["lsd_mask"])).all()
     assert (np.asarray(out["ocr_img"][3]) == np.asarray(single["ocr_img"])).all()
 
@@ -60,9 +60,9 @@ def test_graft_entry_single_chip():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    ui_map, lsd_mask, ocr_img, scales_bin = out
-    assert ui_map.ndim == 3 and ui_map.shape[2] == 4
-    assert lsd_mask.shape == ui_map.shape[:2]
+    ui, lsd_mask, ocr_img, scales_bits = out
+    assert ui.ndim == 2  # grayscale luma plane
+    assert lsd_mask.shape == ui.shape
 
 
 def test_graft_entry_dryrun():
