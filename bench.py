@@ -39,18 +39,27 @@ def build_state():
     return VisionState(settings=settings, ocr_engine=ocr)
 
 
-def make_bench_frame(w: int, h: int) -> np.ndarray:
+def make_bench_frames(w: int, h: int, n: int = 4) -> list[np.ndarray]:
+    """Distinct frames per iteration so the unchanged-frame fast paths
+    (ui-checksum skip, OCR result cache, capture crc dedup) cannot flatter
+    the numbers: every measured frame does full work."""
     from smh_tpu import testing
 
-    return testing.make_frame(
-        w,
-        h,
-        marker_lines=[
-            ((120, 150), (700, 520)),
-            ((w // 4, h // 3), (w // 4 + 450, h // 3 + 60)),
-        ],
-        scale_bars=[(60, 200, 120, 1)],
-    )
+    frames = []
+    for i in range(n):
+        off = i * 7
+        frames.append(
+            testing.make_frame(
+                w,
+                h,
+                marker_lines=[
+                    ((120 + off, 150), (700 + off, 520)),
+                    ((w // 4, h // 3 + off), (w // 4 + 450, h // 3 + 60 + off)),
+                ],
+                scale_bars=[(60, 200 + off, 120, 1)],
+            )
+        )
+    return frames
 
 
 def main() -> None:
@@ -66,17 +75,17 @@ def main() -> None:
     from smh_tpu.squadex.capture import Frame
 
     state = build_state()
-    frame = Frame(make_bench_frame(w, h), dpi=96)
+    frames = [Frame(f, dpi=96) for f in make_bench_frames(w, h)]
 
     # Warmup: compile all buckets (fused pass + red gate + ray march).
-    for _ in range(3):
-        res = state.process(frame)
+    for i in range(3):
+        res = state.process(frames[i % len(frames)])
     assert res is not None and len(res.markers) >= 1, "bench frame must detect"
 
     lat = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        res = state.process(frame)
+        res = state.process(frames[i % len(frames)])
         lat.append(time.perf_counter() - t0)
     state.close()
 

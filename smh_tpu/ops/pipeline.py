@@ -192,8 +192,22 @@ def _analyze(
     ocr_img = _ocr_preprocess(brq_rgb)
     scales_bool = hsv.luma8(brq_rgb) != 0
 
+    # Cheap device-side checksum of the ui plane: lets the host skip the
+    # (expensive) D2H + web push when the visible map did not change — the
+    # reference does the same with a host-side crc32 (src/ui/map.rs:222-233).
+    ui_u32 = ui.astype(jnp.uint32)
+    row_w = (jax.lax.broadcasted_iota(jnp.uint32, (g.map_h, g.map_w), 0) + 1) * (
+        jax.lax.broadcasted_iota(jnp.uint32, (g.map_h, g.map_w), 1) + 7
+    )
+    if ui_u32.ndim == 3:
+        ui_flat = ui_u32.sum(axis=2)
+    else:
+        ui_flat = ui_u32
+    ui_check = jnp.stack([ui_flat.sum(dtype=jnp.uint32), (ui_flat * row_w).sum(dtype=jnp.uint32)])
+
     out = {
         "ui": ui,  # [h,w] luma when grayscale else [h,w,3] rgb
+        "ui_check": ui_check,  # u32 [2]
         "lsd_mask": lsd_mask,  # full mask, stays device-side for the march
         "lsd_bits": pack_bits(lsd_bool),
         "scales_bits": pack_bits(scales_bool),

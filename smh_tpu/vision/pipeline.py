@@ -144,6 +144,10 @@ class VisionState:
         self._pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="vision-branch"
         )
+        # OCR is deterministic in its input image + DPI: identical frames
+        # (map not panning) reuse the previous ratio instead of re-running
+        # Tesseract — a >10ms/frame win the reference leaves on the table.
+        self._scales_cache: Optional[tuple[int, Optional[float]]] = None
 
     # ------------------------------------------------------------------
 
@@ -200,11 +204,21 @@ class VisionState:
                 return backend.find_marker_lines(C.LSD_MAX_GAP)
 
         def scales_branch() -> Optional[float]:
+            import zlib
+
             backend.thread_ctx()
             with timeshare(shares, "ocr_preprocess"):
                 ocr_image = backend.ocr_preprocess()
 
             dpi = frame.dpi
+            cache_key = zlib.crc32(ocr_image.tobytes()) ^ hash(dpi) & 0xFFFFFFFF
+            if (
+                not self.collect_debug_overlays
+                and self._scales_cache is not None
+                and self._scales_cache[0] == cache_key
+            ):
+                return self._scales_cache[1]
+
             with timeshare(shares, "ocr"):
                 ocr_results = self.ocr_engine.read(ocr_image, dpi)
 
@@ -222,6 +236,7 @@ class VisionState:
 
             scales, scales_start_y = _parse_scales(ocr_results)
             if not scales or scales_start_y is None:
+                self._scales_cache = (cache_key, None)
                 return None
 
             with timeshare(shares, "find_scales_preprocess"):
@@ -243,6 +258,7 @@ class VisionState:
                     )
                     for m, l in debug_scales
                 )
+            self._scales_cache = (cache_key, ratio)
             return ratio
 
         # Scales branch is skipped entirely when a heightmap supplies

@@ -46,6 +46,8 @@ class TpuBackend:
         self._lsd_mask_host: Optional[np.ndarray] = None
         self._debug = False
         self._grayscale = True
+        self._ui_check: Optional[tuple[int, int]] = None
+        self._ui_map_cache: Optional[np.ndarray] = None
         if lsd_engine == "auto":
             from .. import native
 
@@ -93,7 +95,16 @@ class TpuBackend:
         )
 
         # D2H is the scarcest resource on this host link (~20 MB/s): the
-        # grayscale ui travels as one luma plane and is expanded here.
+        # grayscale ui travels as one luma plane, is expanded here, and is
+        # only re-fetched when the device-side checksum changed.
+        check = (*(int(v) for v in np.asarray(self._results["ui_check"])), grayscale)
+        if (
+            self._ui_map_cache is not None
+            and check == self._ui_check
+            and self._ui_map_cache.shape[:2] == (g.map_h, g.map_w)
+        ):
+            return self._ui_map_cache, (g.map_x, g.map_y, g.map_w, g.map_h)
+
         ui = np.asarray(self._results["ui"])
         ui_map = np.empty((g.map_h, g.map_w, 4), dtype=np.uint8)
         if ui.ndim == 2:
@@ -101,6 +112,8 @@ class TpuBackend:
         else:
             ui_map[..., :3] = ui
         ui_map[..., 3] = 255
+        self._ui_check = check
+        self._ui_map_cache = ui_map
         return ui_map, (g.map_x, g.map_y, g.map_w, g.map_h)
 
     def minimap_quiet_map(self) -> Optional[np.ndarray]:
