@@ -46,12 +46,17 @@ def make_mesh(devices: Optional[list] = None, sp: int = 1) -> Mesh:
     jax.jit, static_argnames=("frame_h", "frame_w", "grayscale", "mesh_in")
 )
 def _analyze_batch(frames, frame_h, frame_w, grayscale, mesh_in=None):
+    g = C.map_geometry(frame_w, frame_h)
+
     def per_frame(frame):
-        out = ops_pipeline._analyze(
-            frame, frame_h=frame_h, frame_w=frame_w, grayscale=grayscale, with_isolated=False
+        map_bgra = jax.lax.slice(
+            frame, (g.map_y, g.map_x, 0), (g.map_y + g.map_h, g.map_x + g.map_w, 4)
         )
-        red = ops_pipeline._red_gate(frame, frame_h=frame_h, frame_w=frame_w)
-        out["red_ratio"] = red
+        out = ops_pipeline._analyze_map(map_bgra, grayscale=grayscale, with_isolated=False)
+        btn = jax.lax.slice(
+            frame, (g.btn_y, g.btn_x, 0), (g.btn_y + g.btn_h, g.btn_x + g.btn_w, 4)
+        )
+        out["red_ratio"] = ops_pipeline._red_gate_roi(btn)
         return out
 
     return jax.vmap(per_frame)(frames)

@@ -47,13 +47,25 @@ class DebugBox:
     debug_view: Optional[np.ndarray] = None
 
 
-@dataclasses.dataclass
 class VisionResults:
-    markers: list[Line] = dataclasses.field(default_factory=list)
-    meters_to_px_ratio: Optional[float] = None
-    minimap_bounds: Optional[Rect] = None
-    map: Optional[np.ndarray] = None  # RGBA u8
-    debug_view: Optional[np.ndarray] = None
+    """Per-frame outputs. `map` (the RGBA ui image) is lazy: backends may
+    hand over a fetcher so the display image is only pulled off the device
+    when a consumer (UI/web) actually wants pixels — it is not part of the
+    frame->markers+scales critical path."""
+
+    def __init__(self, map_fn=None) -> None:
+        self.markers: list[Line] = []
+        self.meters_to_px_ratio: Optional[float] = None
+        self.minimap_bounds: Optional[Rect] = None
+        self.debug_view: Optional[np.ndarray] = None
+        self._map_fn = map_fn
+        self._map: Optional[np.ndarray] = None
+
+    @property
+    def map(self) -> Optional[np.ndarray]:
+        if self._map is None and self._map_fn is not None:
+            self._map = self._map_fn()
+        return self._map
 
 
 def make_backend(name: str):
@@ -181,7 +193,7 @@ class VisionState:
 
         ui_map, (x, y, w, h) = cropped
         brq_w, brq_h = w // 2, h // 2
-        results = VisionResults(map=ui_map)
+        results = VisionResults(map_fn=ui_map if callable(ui_map) else (lambda: ui_map))
 
         with timeshare(shares, "find_minimap"):
             quiet_fn = getattr(backend, "minimap_quiet_map", None)

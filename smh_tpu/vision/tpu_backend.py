@@ -40,7 +40,8 @@ class TpuBackend:
         Both reproduce the oracle's semantics; native is the faster host path
         for this scalar-chasing workload (SURVEY.md section 7 "hard parts")."""
         self.frame_np: Optional[np.ndarray] = None
-        self.frame_dev: Optional[jax.Array] = None
+        self.map_dev: Optional[jax.Array] = None
+        self.btn_dev: Optional[jax.Array] = None
         self.geom: Optional[C.MapGeometry] = None
         self._results: Optional[dict] = None
         self._lsd_mask_host: Optional[np.ndarray] = None
@@ -70,8 +71,16 @@ class TpuBackend:
         h, w = frame_bgra.shape[:2]
         if self.geom is None or (self.geom.frame_w, self.geom.frame_h) != (w, h):
             self.geom = C.map_geometry(w, h)
+        g = self.geom
         self.frame_np = frame_bgra
-        self.frame_dev = jax.device_put(frame_bgra)
+        # Upload only the ROIs the pipeline reads (map + close-button):
+        # ~2.3x less H2D than shipping the whole frame.
+        self.map_dev = jax.device_put(
+            np.ascontiguousarray(frame_bgra[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w])
+        )
+        self.btn_dev = jax.device_put(
+            np.ascontiguousarray(frame_bgra[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w])
+        )
         self._results = None
         self._lsd_mask_host = None
 
@@ -82,39 +91,47 @@ class TpuBackend:
     # -- stages ---------------------------------------------------------------
 
     def crop_to_map(self, grayscale: bool) -> Optional[tuple[np.ndarray, tuple[int, int, int, int]]]:
-        assert self.frame_dev is not None and self.geom is not None
+        assert self.map_dev is not None and self.geom is not None
         g = self.geom
 
-        red_ratio = ops_pipeline.red_gate(self.frame_dev)
+        red_ratio = float(ops_pipeline._red_gate_roi(self.btn_dev))
         if red_ratio < C.CLOSE_DEPLOYMENT_BUTTON_RED_PIXEL_THRESHOLD:
             return None
 
         self._grayscale = grayscale
-        self._results = ops_pipeline.analyze_frame(
-            self.frame_dev, grayscale=grayscale, with_isolated=self._debug
+        self._results = ops_pipeline.analyze_map(
+            self.map_dev, grayscale=grayscale, with_isolated=self._debug
         )
 
-        # D2H is the scarcest resource on this host link (~20 MB/s): the
-        # grayscale ui travels as one luma plane, is expanded here, and is
-        # only re-fetched when the device-side checksum changed.
-        check = (*(int(v) for v in np.asarray(self._results["ui_check"])), grayscale)
-        if (
-            self._ui_map_cache is not None
-            and check == self._ui_check
-            and self._ui_map_cache.shape[:2] == (g.map_h, g.map_w)
-        ):
-            return self._ui_map_cache, (g.map_x, g.map_y, g.map_w, g.map_h)
+        # The ui map is display-only — it is NOT on the frame->markers+scales
+        # critical path, and D2H is the scarcest resource on this host link
+        # (~20 MB/s). crop_to_map therefore returns a lazy fetcher: the UI /
+        # web layer materializes it when it actually wants pixels, and an
+        # unchanged device-side checksum reuses the previous host copy
+        # (the reference skips texture uploads with a host crc32 the same
+        # way, src/ui/map.rs:222-233).
+        results = self._results
 
-        ui = np.asarray(self._results["ui"])
-        ui_map = np.empty((g.map_h, g.map_w, 4), dtype=np.uint8)
-        if ui.ndim == 2:
-            ui_map[..., 0] = ui_map[..., 1] = ui_map[..., 2] = ui
-        else:
-            ui_map[..., :3] = ui
-        ui_map[..., 3] = 255
-        self._ui_check = check
-        self._ui_map_cache = ui_map
-        return ui_map, (g.map_x, g.map_y, g.map_w, g.map_h)
+        def fetch_ui_map() -> np.ndarray:
+            check = (*(int(v) for v in np.asarray(results["ui_check"])), grayscale)
+            if (
+                self._ui_map_cache is not None
+                and check == self._ui_check
+                and self._ui_map_cache.shape[:2] == (g.map_h, g.map_w)
+            ):
+                return self._ui_map_cache
+            ui = np.asarray(results["ui"])
+            ui_map = np.empty((g.map_h, g.map_w, 4), dtype=np.uint8)
+            if ui.ndim == 2:
+                ui_map[..., 0] = ui_map[..., 1] = ui_map[..., 2] = ui
+            else:
+                ui_map[..., :3] = ui
+            ui_map[..., 3] = 255
+            self._ui_check = check
+            self._ui_map_cache = ui_map
+            return ui_map
+
+        return fetch_ui_map, (g.map_x, g.map_y, g.map_w, g.map_h)
 
     def minimap_quiet_map(self) -> Optional[np.ndarray]:
         """Low-edginess mask from the fused pass (find_minimap fast path)."""

@@ -71,6 +71,8 @@ def test_fused_pass_parity_synthetic():
     out = tpu.crop_to_map(grayscale=True)
     assert out is not None
     ui_tpu, bbox_tpu = out
+    if callable(ui_tpu):  # lazy display-image fetcher
+        ui_tpu = ui_tpu()
     tpu.mask_marker_lines()
     ocr_tpu = tpu.ocr_preprocess()
     scales_tpu = tpu.find_scales_preprocess(0)
