@@ -48,17 +48,22 @@ def make_bench_frames(w: int, h: int, n: int = 4) -> list[np.ndarray]:
     frames = []
     for i in range(n):
         off = i * 7
-        frames.append(
-            testing.make_frame(
-                w,
-                h,
-                marker_lines=[
-                    ((120 + off, 150), (700 + off, 520)),
-                    ((w // 4, h // 3 + off), (w // 4 + 450, h // 3 + 60 + off)),
-                ],
-                scale_bars=[(60, 200 + off, 120, 1)],
-            )
+        frame = testing.make_frame(
+            w,
+            h,
+            marker_lines=[
+                ((120 + off, 150), (700 + off, 520)),
+                ((w // 4, h // 3 + off), (w // 4 + 450, h // 3 + 60 + off)),
+            ],
+            scale_bars=[(60, 200, 120, 1)],  # fixed: the canned OCR bbox points here
         )
+        # Perturb a patch inside the BRQ so the OCR-preprocess image differs
+        # per frame and the scales path cannot hit its unchanged-input cache.
+        from smh_tpu import consts as C
+
+        g = C.map_geometry(w, h)
+        frame[g.brq_y + 300 + off : g.brq_y + 310 + off, g.brq_x + 300 : g.brq_x + 340, :3] = 255
+        frames.append(frame)
     return frames
 
 

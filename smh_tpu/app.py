@@ -56,6 +56,9 @@ class App:
         self.custom_markers: list[tuple[tuple[float, float], tuple[float, float]]] = []
         self._lock = threading.Lock()
         self._shutdown = threading.Event()
+        self._last_results = None
+        if self.web is not None:
+            self.web.on_client_connect = self._on_client_connect
 
     # -- vision -> web push (src/ui/map.rs:222-233, state.rs:81-88) ---------
 
@@ -64,13 +67,22 @@ class App:
             return
         if results is None:
             return  # sleeping: keep the last map on clients
-        if results.map is not None:
+        self._last_results = results
+        # The ui map is lazy: only pull it off the device (and encode 1-13 MB
+        # of websocket traffic) when someone is actually watching.
+        if self.web.num_clients() > 0 and results.map is not None:
             self.web.send_map(results.map)
         self.web.send_markers(
             [((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in results.markers], custom=False
         )
         self.web.send_update_state(results.meters_to_px_ratio, results.minimap_bounds)
         self._drain_interactions()
+
+    def _on_client_connect(self) -> None:
+        """A viewer just joined: materialize and push the current map."""
+        results = self._last_results
+        if results is not None and self.web is not None and results.map is not None:
+            self.web.send_map(results.map)
 
     # -- web -> app interactions (src/ui/web.rs:131-144) --------------------
 

@@ -75,6 +75,7 @@ class WebServer:
         self._started = threading.Event()
         self._stop_event: Optional[asyncio.Event] = None
         self.on_interaction = None  # optional callback (app wake)
+        self.on_client_connect = None  # optional callback (push fresh state)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -167,6 +168,11 @@ class WebServer:
 
         queue: asyncio.Queue = asyncio.Queue(maxsize=256)
         self._clients.add(queue)
+
+        if self.on_client_connect is not None:
+            # App-side hook: lets a lazily-fetched map be pushed to the first
+            # viewer even when the scene is static (no new vision updates).
+            await asyncio.get_running_loop().run_in_executor(None, self.on_client_connect)
 
         async def sender():
             while True:
