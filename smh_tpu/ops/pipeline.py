@@ -163,6 +163,12 @@ def _analyze_map(map_bgra: jnp.ndarray, grayscale: bool, with_isolated: bool):
     map_h, map_w = map_bgra.shape[:2]
     brq_h, brq_w = map_h // 2, map_w // 2
     map_rgb = _bgra_to_rgb(map_bgra)
+    return _analyze_map_body(map_bgra, map_rgb, grayscale, with_isolated)
+
+
+def _analyze_map_body(map_bgra, map_rgb, grayscale: bool, with_isolated: bool):
+    map_h, map_w = map_bgra.shape[:2]
+    brq_h, brq_w = map_h // 2, map_w // 2
 
     marker = hsv.is_any_map_marker_color(map_rgb)
 
@@ -213,6 +219,57 @@ def _analyze_map(map_bgra: jnp.ndarray, grayscale: bool, with_isolated: bool):
         out["isolated_map"] = jnp.where(marker[..., None], map_rgb, jnp.uint8(0))
         out["cropped_brq"] = brq_rgb
     return out
+
+
+# ---------------------------------------------------------------------------
+# The production dispatch: fused pass + red gate with every detection-path
+# output packed into ONE u8 buffer. On this host link a D2H transfer costs
+# ~25 ms of *latency* regardless of size, so the pipeline performs exactly
+# one fetch per frame (the display ui plane stays separate and lazy).
+# ---------------------------------------------------------------------------
+
+
+def hostpack_layout(map_h: int, map_w: int) -> dict:
+    """Byte offsets of each section inside the packed buffer."""
+    brq_h, brq_w = map_h // 2, map_w // 2
+    mask_bytes = map_h * ((map_w + 7) // 8)
+    scales_bytes = brq_h * ((brq_w + 7) // 8)
+    ocr_bytes = brq_h * brq_w
+    layout = {}
+    off = 0
+    for name, size in (
+        ("red_ratio", 4),
+        ("ui_check", 8),
+        ("lsd_bits", mask_bytes),
+        ("quiet_bits", mask_bytes),
+        ("scales_bits", scales_bytes),
+        ("ocr_img", ocr_bytes),
+    ):
+        layout[name] = (off, size)
+        off += size
+    layout["__total__"] = off
+    return layout
+
+
+@functools.partial(jax.jit, static_argnames=("grayscale",))
+def _analyze_packed(map_bgra: jnp.ndarray, btn_bgra: jnp.ndarray, grayscale: bool):
+    """Returns {"hostpack": u8 [N], "ui": ..., "lsd_mask": ...}."""
+    out = _analyze_map(map_bgra, grayscale=grayscale, with_isolated=False)
+    red = _red_gate_roi(btn_bgra)
+
+    red_u8 = jax.lax.bitcast_convert_type(red[None], jnp.uint8).reshape(-1)
+    check_u8 = jax.lax.bitcast_convert_type(out["ui_check"], jnp.uint8).reshape(-1)
+    pack = jnp.concatenate(
+        [
+            red_u8,
+            check_u8,
+            out["lsd_bits"].reshape(-1),
+            out["quiet_bits"].reshape(-1),
+            out["scales_bits"].reshape(-1),
+            out["ocr_img"].reshape(-1),
+        ]
+    )
+    return {"hostpack": pack, "ui": out["ui"], "lsd_mask": out["lsd_mask"]}
 
 
 def analyze_map(

@@ -47,7 +47,8 @@ class TpuBackend:
         self._lsd_mask_host: Optional[np.ndarray] = None
         self._debug = False
         self._grayscale = True
-        self._ui_check: Optional[tuple[int, int]] = None
+        self._host: Optional[dict] = None  # parsed hostpack sections
+        self._ui_check: Optional[tuple] = None
         self._ui_map_cache: Optional[np.ndarray] = None
         if lsd_engine == "auto":
             from .. import native
@@ -82,6 +83,7 @@ class TpuBackend:
             np.ascontiguousarray(frame_bgra[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w])
         )
         self._results = None
+        self._host = None
         self._lsd_mask_host = None
 
     def get_cpu_frame(self) -> np.ndarray:
@@ -93,15 +95,42 @@ class TpuBackend:
     def crop_to_map(self, grayscale: bool) -> Optional[tuple[np.ndarray, tuple[int, int, int, int]]]:
         assert self.map_dev is not None and self.geom is not None
         g = self.geom
+        self._grayscale = grayscale
 
-        red_ratio = float(ops_pipeline._red_gate_roi(self.btn_dev))
+        # ONE dispatch, ONE device->host fetch: the packed buffer carries the
+        # red gate, ui checksum, all bit-masks and the OCR image. (The fetch
+        # latency, ~25 ms on this relay, dominates any payload size, so the
+        # reference's "gate first, then compute" order inverts: computing the
+        # sleeping frame costs ~0.5 ms of device time and saves a roundtrip.)
+        self._results = ops_pipeline._analyze_packed(
+            self.map_dev, self.btn_dev, grayscale=grayscale
+        )
+        pack = np.asarray(self._results["hostpack"])
+        layout = ops_pipeline.hostpack_layout(g.map_h, g.map_w)
+
+        def sect(name):
+            off, size = layout[name]
+            return pack[off : off + size]
+
+        red_ratio = float(sect("red_ratio").view(np.float32)[0])
         if red_ratio < C.CLOSE_DEPLOYMENT_BUTTON_RED_PIXEL_THRESHOLD:
             return None
 
-        self._grayscale = grayscale
-        self._results = ops_pipeline.analyze_map(
-            self.map_dev, grayscale=grayscale, with_isolated=self._debug
-        )
+        mask_row = (g.map_w + 7) // 8
+        brq_row = (g.brq_w + 7) // 8
+        self._host = {
+            "ui_check": tuple(int(v) for v in sect("ui_check").view(np.uint32)),
+            "lsd_bits": sect("lsd_bits").reshape(g.map_h, mask_row),
+            "quiet_bits": sect("quiet_bits").reshape(g.map_h, mask_row),
+            "scales_bits": sect("scales_bits").reshape(g.brq_h, brq_row),
+            "ocr_img": sect("ocr_img").reshape(g.brq_h, g.brq_w),
+        }
+        if self._debug:
+            # Debug views want the extra intermediates: run the full-output
+            # pass too (debug mode trades speed for visibility).
+            self._results.update(
+                ops_pipeline.analyze_map(self.map_dev, grayscale=grayscale, with_isolated=True)
+            )
 
         # The ui map is display-only — it is NOT on the frame->markers+scales
         # critical path, and D2H is the scarcest resource on this host link
@@ -111,9 +140,10 @@ class TpuBackend:
         # (the reference skips texture uploads with a host crc32 the same
         # way, src/ui/map.rs:222-233).
         results = self._results
+        ui_check_host = self._host["ui_check"]
 
         def fetch_ui_map() -> np.ndarray:
-            check = (*(int(v) for v in np.asarray(results["ui_check"])), grayscale)
+            check = (*ui_check_host, grayscale)
             if (
                 self._ui_map_cache is not None
                 and check == self._ui_check
@@ -135,29 +165,28 @@ class TpuBackend:
 
     def minimap_quiet_map(self) -> Optional[np.ndarray]:
         """Low-edginess mask from the fused pass (find_minimap fast path)."""
-        if self._results is None or self.geom is None:
+        if self._host is None or self.geom is None:
             return None
-        bits = np.asarray(self._results["quiet_bits"])
-        return ops_pipeline.unpack_bits_host(bits, self.geom.map_w).astype(bool)
+        return ops_pipeline.unpack_bits_host(self._host["quiet_bits"], self.geom.map_w).astype(bool)
 
     def ocr_preprocess(self) -> np.ndarray:
-        assert self._results is not None
-        return np.asarray(self._results["ocr_img"])
+        assert self._host is not None
+        return self._host["ocr_img"]
 
     def find_scales_preprocess(self, scales_start_y: int) -> np.ndarray:
-        """Returns the binarized BRQ as 0/255 u8 (bit-unpacked from device)."""
-        assert self._results is not None and self.geom is not None
-        bits = np.asarray(self._results["scales_bits"])
-        return ops_pipeline.unpack_bits_host(bits, self.geom.brq_w) * np.uint8(255)
+        """Returns the binarized BRQ as 0/255 u8 (bit-unpacked)."""
+        assert self._host is not None and self.geom is not None
+        return ops_pipeline.unpack_bits_host(self._host["scales_bits"], self.geom.brq_w) * np.uint8(255)
 
     def isolate_map_markers(self) -> None:
         """Fused into the crop_to_map dispatch."""
 
     def mask_marker_lines(self) -> None:
-        """Fused into the crop_to_map dispatch; pulls the mask for the scan."""
-        assert self._results is not None and self.geom is not None
-        bits = np.asarray(self._results["lsd_bits"])
-        self._lsd_mask_host = ops_pipeline.unpack_bits_host(bits, self.geom.map_w) * np.uint8(255)
+        """Fused into the crop_to_map dispatch; unpacks the mask for the scan."""
+        assert self._host is not None and self.geom is not None
+        self._lsd_mask_host = (
+            ops_pipeline.unpack_bits_host(self._host["lsd_bits"], self.geom.map_w) * np.uint8(255)
+        )
 
     def find_longest_line(self, mask: np.ndarray, pt: Point, max_gap: float) -> tuple[Line, float]:
         assert self._results is not None
@@ -200,7 +229,9 @@ class TpuBackend:
             return out
 
         if choice == DebugView.OCR_INPUT:
-            return gray_rgba(np.asarray(self._results["ocr_img"]))
+            if self._host is None:
+                return None
+            return gray_rgba(self._host["ocr_img"])
         if choice == DebugView.FIND_SCALES_INPUT:
             return gray_rgba(self.find_scales_preprocess(0))
         if choice == DebugView.LSD_INPUT:
