@@ -256,6 +256,26 @@ def _analyze_packed(map_bgra: jnp.ndarray, btn_bgra: jnp.ndarray, grayscale: boo
     """Returns {"hostpack": u8 [N], "ui": ..., "lsd_mask": ...}."""
     out = _analyze_map(map_bgra, grayscale=grayscale, with_isolated=False)
     red = _red_gate_roi(btn_bgra)
+    return _pack_outputs(out, red)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("map_h", "map_w", "btn_h", "btn_w", "grayscale")
+)
+def _analyze_packed_flat(
+    rois: jnp.ndarray, map_h: int, map_w: int, btn_h: int, btn_w: int, grayscale: bool
+):
+    """Same as _analyze_packed but takes BOTH ROIs in one flat u8 upload
+    (H2D is latency-bound like D2H: one transfer beats two)."""
+    map_bytes = map_h * map_w * 4
+    map_bgra = rois[:map_bytes].reshape(map_h, map_w, 4)
+    btn_bgra = rois[map_bytes : map_bytes + btn_h * btn_w * 4].reshape(btn_h, btn_w, 4)
+    out = _analyze_map(map_bgra, grayscale=grayscale, with_isolated=False)
+    red = _red_gate_roi(btn_bgra)
+    return _pack_outputs(out, red)
+
+
+def _pack_outputs(out: dict, red: jnp.ndarray) -> dict:
 
     red_u8 = jax.lax.bitcast_convert_type(red[None], jnp.uint8).reshape(-1)
     check_u8 = jax.lax.bitcast_convert_type(out["ui_check"], jnp.uint8).reshape(-1)
