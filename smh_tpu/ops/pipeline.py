@@ -229,41 +229,54 @@ def _analyze_map_body(map_bgra, map_rgb, grayscale: bool, with_isolated: bool):
 # ---------------------------------------------------------------------------
 
 
-def hostpack_layout(map_h: int, map_w: int) -> dict:
-    """Byte offsets of each section inside the packed buffer."""
+def hostpack_layout(map_h: int, map_w: int, with_ocr: bool = True) -> dict:
+    """Byte offsets of each section inside the packed buffer.
+
+    with_ocr=False drops the OCR image and scales binarize (the scales
+    branch is disabled when a heightmap supplies distances or no OCR engine
+    exists — the biggest payload for nothing)."""
     brq_h, brq_w = map_h // 2, map_w // 2
     mask_bytes = map_h * ((map_w + 7) // 8)
     scales_bytes = brq_h * ((brq_w + 7) // 8)
     ocr_bytes = brq_h * brq_w
-    layout = {}
-    off = 0
-    for name, size in (
+    sections = [
         ("red_ratio", 4),
         ("ui_check", 8),
         ("lsd_bits", mask_bytes),
         ("quiet_bits", mask_bytes),
-        ("scales_bits", scales_bytes),
-        ("ocr_img", ocr_bytes),
-    ):
+    ]
+    if with_ocr:
+        sections += [("scales_bits", scales_bytes), ("ocr_img", ocr_bytes)]
+    layout = {}
+    off = 0
+    for name, size in sections:
         layout[name] = (off, size)
         off += size
     layout["__total__"] = off
     return layout
 
 
-@functools.partial(jax.jit, static_argnames=("grayscale",))
-def _analyze_packed(map_bgra: jnp.ndarray, btn_bgra: jnp.ndarray, grayscale: bool):
+@functools.partial(jax.jit, static_argnames=("grayscale", "with_ocr"))
+def _analyze_packed(
+    map_bgra: jnp.ndarray, btn_bgra: jnp.ndarray, grayscale: bool, with_ocr: bool = True
+):
     """Returns {"hostpack": u8 [N], "ui": ..., "lsd_mask": ...}."""
     out = _analyze_map(map_bgra, grayscale=grayscale, with_isolated=False)
     red = _red_gate_roi(btn_bgra)
-    return _pack_outputs(out, red)
+    return _pack_outputs(out, red, with_ocr)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("map_h", "map_w", "btn_h", "btn_w", "grayscale")
+    jax.jit, static_argnames=("map_h", "map_w", "btn_h", "btn_w", "grayscale", "with_ocr")
 )
 def _analyze_packed_flat(
-    rois: jnp.ndarray, map_h: int, map_w: int, btn_h: int, btn_w: int, grayscale: bool
+    rois: jnp.ndarray,
+    map_h: int,
+    map_w: int,
+    btn_h: int,
+    btn_w: int,
+    grayscale: bool,
+    with_ocr: bool = True,
 ):
     """Same as _analyze_packed but takes BOTH ROIs in one flat u8 upload
     (H2D is latency-bound like D2H: one transfer beats two)."""
@@ -272,23 +285,21 @@ def _analyze_packed_flat(
     btn_bgra = rois[map_bytes : map_bytes + btn_h * btn_w * 4].reshape(btn_h, btn_w, 4)
     out = _analyze_map(map_bgra, grayscale=grayscale, with_isolated=False)
     red = _red_gate_roi(btn_bgra)
-    return _pack_outputs(out, red)
+    return _pack_outputs(out, red, with_ocr)
 
 
-def _pack_outputs(out: dict, red: jnp.ndarray) -> dict:
-
+def _pack_outputs(out: dict, red: jnp.ndarray, with_ocr: bool) -> dict:
     red_u8 = jax.lax.bitcast_convert_type(red[None], jnp.uint8).reshape(-1)
     check_u8 = jax.lax.bitcast_convert_type(out["ui_check"], jnp.uint8).reshape(-1)
-    pack = jnp.concatenate(
-        [
-            red_u8,
-            check_u8,
-            out["lsd_bits"].reshape(-1),
-            out["quiet_bits"].reshape(-1),
-            out["scales_bits"].reshape(-1),
-            out["ocr_img"].reshape(-1),
-        ]
-    )
+    parts = [
+        red_u8,
+        check_u8,
+        out["lsd_bits"].reshape(-1),
+        out["quiet_bits"].reshape(-1),
+    ]
+    if with_ocr:
+        parts += [out["scales_bits"].reshape(-1), out["ocr_img"].reshape(-1)]
+    pack = jnp.concatenate(parts)
     return {"hostpack": pack, "ui": out["ui"], "lsd_mask": out["lsd_mask"]}
 
 

@@ -181,6 +181,8 @@ class VisionState:
 
         if hasattr(backend, "set_debug"):
             backend.set_debug(self.debug_view != DebugView.NONE)
+        if hasattr(backend, "scales_enabled"):
+            backend.scales_enabled = self.ocr_engine is not None and not heightmaps.is_set()
 
         with timeshare(shares, "load_frame"):
             backend.load_frame(frame.image)

@@ -49,6 +49,9 @@ class TpuBackend:
         self._host: Optional[dict] = None  # parsed hostpack sections
         self._ui_check: Optional[tuple] = None
         self._ui_map_cache: Optional[np.ndarray] = None
+        # The driver disables this when a heightmap supplies distances or no
+        # OCR engine exists: the OCR image then never leaves the device.
+        self.scales_enabled = True
         if lsd_engine == "auto":
             from .. import native
 
@@ -102,6 +105,7 @@ class TpuBackend:
         # latency, ~25 ms on this relay, dominates any payload size, so the
         # reference's "gate first, then compute" order inverts: computing the
         # sleeping frame costs ~0.5 ms of device time and saves a roundtrip.)
+        with_ocr = self.scales_enabled
         self._results = ops_pipeline._analyze_packed_flat(
             self.rois_dev,
             map_h=g.map_h,
@@ -109,9 +113,10 @@ class TpuBackend:
             btn_h=g.btn_h,
             btn_w=g.btn_w,
             grayscale=grayscale,
+            with_ocr=with_ocr,
         )
         pack = np.asarray(self._results["hostpack"])
-        layout = ops_pipeline.hostpack_layout(g.map_h, g.map_w)
+        layout = ops_pipeline.hostpack_layout(g.map_h, g.map_w, with_ocr=with_ocr)
 
         def sect(name):
             off, size = layout[name]
@@ -127,9 +132,10 @@ class TpuBackend:
             "ui_check": tuple(int(v) for v in sect("ui_check").view(np.uint32)),
             "lsd_bits": sect("lsd_bits").reshape(g.map_h, mask_row),
             "quiet_bits": sect("quiet_bits").reshape(g.map_h, mask_row),
-            "scales_bits": sect("scales_bits").reshape(g.brq_h, brq_row),
-            "ocr_img": sect("ocr_img").reshape(g.brq_h, g.brq_w),
         }
+        if with_ocr:
+            self._host["scales_bits"] = sect("scales_bits").reshape(g.brq_h, brq_row)
+            self._host["ocr_img"] = sect("ocr_img").reshape(g.brq_h, g.brq_w)
         if self._debug:
             # Debug views want the extra intermediates: run the full-output
             # pass too (debug mode trades speed for visibility).
