@@ -67,15 +67,57 @@ def make_bench_frames(w: int, h: int, n: int = 4) -> list[np.ndarray]:
     return frames
 
 
+def run_batch_mode(w: int, h: int, res: str, iters: int, batch: int = 8) -> None:
+    """Throughput mode: B frames per dispatch, one fetch per batch (the
+    BASELINE "streaming capture loop, batched frames" config)."""
+    from smh_tpu.ocr import FakeOcrEngine, OcrResult
+    from smh_tpu.vision.batch import BatchPipeline
+
+    ocr = FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)])
+    bp = BatchPipeline(w, h, batch=batch, ocr_engine=ocr)
+    base = make_bench_frames(w, h, n=batch)
+
+    for _ in range(2):
+        results = bp.process(base)
+    assert all(not r.sleeping and r.markers for r in results)
+
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        results = bp.process(base)
+        lat.append(time.perf_counter() - t0)
+
+    per_frame_ms = statistics.median(lat) * 1000.0 / batch
+    print(
+        json.dumps(
+            {
+                "metric": f"{res}_batched_throughput_per_frame",
+                "value": round(per_frame_ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(8.0 / per_frame_ms, 4),
+                "fps_per_chip": round(1000.0 / per_frame_ms, 2),
+                "batch": batch,
+                "markers_detected": len(results[0].markers),
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", default="4k", choices=["4k", "1440p", "1080p"])
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--mode", default="latency", choices=["latency", "batch"])
+    ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
 
     w, h = {"4k": (3840, 2160), "1440p": (2560, 1440), "1080p": (1920, 1080)}[args.res]
     iters = 8 if args.quick else args.iters
+
+    if args.mode == "batch":
+        run_batch_mode(w, h, args.res, max(4, iters // 2), batch=args.batch)
+        return
 
     from smh_tpu.squadex.capture import Frame
 

@@ -303,6 +303,41 @@ def _pack_outputs(out: dict, red: jnp.ndarray, with_ocr: bool) -> dict:
     return {"hostpack": pack, "ui": out["ui"], "lsd_mask": out["lsd_mask"]}
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("map_h", "map_w", "btn_h", "btn_w", "grayscale", "with_ocr"),
+)
+def _analyze_batch_packed(
+    rois: jnp.ndarray,  # u8 [B, roi_bytes]
+    map_h: int,
+    map_w: int,
+    btn_h: int,
+    btn_w: int,
+    grayscale: bool,
+    with_ocr: bool = True,
+):
+    """Batched fused pass: B frames in, ONE [B, pack_bytes] hostpack out.
+
+    On a latency-bound host link this is the throughput mode: the per-frame
+    D2H roundtrip cost divides by B (SURVEY/BASELINE config "streaming
+    capture loop with batched frames")."""
+
+    def one(roi):
+        out = _analyze_packed_flat(
+            roi,
+            map_h=map_h,
+            map_w=map_w,
+            btn_h=btn_h,
+            btn_w=btn_w,
+            grayscale=grayscale,
+            with_ocr=with_ocr,
+        )
+        return out["hostpack"], out["lsd_mask"]
+
+    packs, masks = jax.vmap(one)(rois)
+    return {"hostpack": packs, "lsd_mask": masks}
+
+
 def analyze_map(
     map_dev: jax.Array, grayscale: bool = True, with_isolated: bool = False
 ) -> dict:
