@@ -65,6 +65,9 @@ class App:
     def _on_update(self, results, debug) -> None:
         if self.web is None:
             return
+        # Drain client interactions even while sleeping (map closed): custom
+        # markers placed then must not queue up invisibly until it reopens.
+        self._drain_interactions()
         if results is None:
             return  # sleeping: keep the last map on clients
         self._last_results = results
