@@ -16,11 +16,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
 import sys
 import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Persistent XLA compilation cache: first-compile of the fused pass through
+# the remote compile service can take minutes; cached reruns start instantly.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import numpy as np  # noqa: E402
 

@@ -1,0 +1,115 @@
+"""Pallas TPU kernels for the hot elementwise stage.
+
+The XLA-fused pass is already fast (~0.45 ms device time at 1080p — the
+host link, not compute, bounds this pipeline; docs/DESIGN.md §3), so Pallas
+is an *optional* backend for the classify stage rather than a necessity.
+What it buys:
+
+  * explicit control of arithmetic order (no XLA FMA/reciprocal surprises
+    inside the kernel body);
+  * a foundation for a future fully-fused single-kernel pass (classify +
+    dilate + bit-pack with halo exchange in VMEM) if this ever runs on a
+    host link fast enough for device compute to matter.
+
+The kernel computes the fireteam marker predicate + Rec.709 luma for a tile
+of the map ROI in one VMEM round trip. Grid tiles are (256, 512) aligned to
+the u8 (32, 128) layout; ragged edges are handled by Pallas block padding
+(reads of the pad region are computed and discarded on write-back).
+
+Enable with SMH_USE_PALLAS=1 (TPU only); tests exercise interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .. import consts as C
+
+F32 = jnp.float32
+
+TILE_H = 256
+TILE_W = 512
+
+
+def _classify_luma_kernel(r_ref, g_ref, b_ref, marker_ref, luma_ref):
+    r8 = r_ref[...]
+    g8 = g_ref[...]
+    b8 = b_ref[...]
+
+    # Mosaic has no direct u8<->f32 casts on v5e: hop through i32.
+    r = r8.astype(jnp.int32).astype(F32) / F32(255.0)
+    g = g8.astype(jnp.int32).astype(F32) / F32(255.0)
+    b = b8.astype(jnp.int32).astype(F32) / F32(255.0)
+
+    mx = jnp.maximum(r, jnp.maximum(g, b))
+    mn = jnp.minimum(r, jnp.minimum(g, b))
+    delta = mx - mn
+    safe_delta = jnp.where(delta == 0, F32(1.0), delta)
+
+    h_r = F32(60.0) * ((g - b) / safe_delta)
+    h_g = F32(60.0) * (((b - r) / safe_delta) + F32(2.0))
+    h_b = F32(60.0) * (((r - g) / safe_delta) + F32(4.0))
+    h = jnp.where(mx == mn, F32(0.0), jnp.where(mx == r, h_r, jnp.where(mx == g, h_g, h_b)))
+    h = jnp.where(h < F32(0.0), h + F32(360.0), h)
+
+    safe_mx = jnp.where(mx == 0, F32(1.0), mx)
+    s = jnp.where(mx > F32(0.0), (F32(100.0) * delta) / safe_mx, F32(0.0))
+    v = F32(100.0) * mx
+
+    hi = h.astype(jnp.int32)
+    si = s.astype(jnp.int32)
+    vi = v.astype(jnp.int32)
+
+    ok = jnp.zeros(hi.shape, dtype=jnp.bool_)
+    for mh, ms, mv in (
+        C.ALPHA_MARKER_COLOR_HSV,
+        C.BRAVO_MARKER_COLOR_HSV,
+        C.CHARLIE_MARKER_COLOR_HSV,
+    ):
+        hue_ok = jnp.abs(hi - mh) <= C.FIND_MARKER_HSV_HUE_TOLERANCE
+        sat_ok = jnp.abs(si - ms) <= C.FIND_MARKER_HSV_SAT_TOLERANCE
+        arc_ok = (
+            jnp.abs(si - (ms - C.FIND_MARKER_PLAYER_DIR_ARC_SAT))
+            <= C.FIND_MARKER_HSV_SAT_TOLERANCE
+        )
+        vib_ok = jnp.abs(vi - mv) <= C.FIND_MARKER_HSV_VIB_TOLERANCE
+        ok = ok | (hue_ok & (sat_ok | arc_ok) & vib_ok)
+    ok = ok & (si >= C.FIND_MARKER_HSV_MIN_SAT)
+
+    marker_ref[...] = ok.astype(jnp.int32).astype(jnp.uint8)
+
+    rf = r8.astype(jnp.int32).astype(F32)
+    gf = g8.astype(jnp.int32).astype(F32)
+    bf = b8.astype(jnp.int32).astype(F32)
+    luma = (F32(0.2126) * rf + F32(0.7152) * gf) + F32(0.0722) * bf
+    luma_ref[...] = luma.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def classify_luma_pallas(map_rgb: jnp.ndarray, interpret: bool = False):
+    """map_rgb u8 [H, W, 3] -> (marker u8 0/1 [H, W], luma u8 [H, W])."""
+    h, w = map_rgb.shape[:2]
+    grid = (pl.cdiv(h, TILE_H), pl.cdiv(w, TILE_W))
+    plane_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))
+
+    marker, luma = pl.pallas_call(
+        _classify_luma_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        ),
+        grid=grid,
+        in_specs=[plane_spec, plane_spec, plane_spec],
+        out_specs=(plane_spec, plane_spec),
+        interpret=interpret,
+    )(map_rgb[..., 0], map_rgb[..., 1], map_rgb[..., 2])
+    return marker, luma
+
+
+def use_pallas() -> bool:
+    return os.environ.get("SMH_USE_PALLAS", "0") == "1"
