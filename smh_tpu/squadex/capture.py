@@ -136,14 +136,12 @@ class CaptureThread:
         self._thread: Optional[threading.Thread] = None
 
     def fresh_frame(self) -> Optional[Frame]:
-        """Take the mailbox frame if present; unparks the capture thread."""
+        """Take the mailbox frame if present; unparks the capture thread
+        either way (capture.rs:15-22 unparks even when the slot is empty)."""
         with self._cond:
             frame = self._slot
             self._slot = None
-        if frame is None:
-            self._consumed.set()  # capture.rs:15-22 unparks when empty
-        else:
-            self._consumed.set()
+        self._consumed.set()
         return frame
 
     def _run(self) -> None:
