@@ -229,12 +229,14 @@ def _analyze_map_body(map_bgra, map_rgb, grayscale: bool, with_isolated: bool):
 # ---------------------------------------------------------------------------
 
 
-def hostpack_layout(map_h: int, map_w: int, with_ocr: bool = True) -> dict:
+def hostpack_layout(map_h: int, map_w: int, with_ocr: bool = True, with_quiet: bool = True) -> dict:
     """Byte offsets of each section inside the packed buffer.
 
     with_ocr=False drops the OCR image and scales binarize (the scales
     branch is disabled when a heightmap supplies distances or no OCR engine
-    exists — the biggest payload for nothing)."""
+    exists — the biggest payload for nothing). with_quiet=False drops the
+    minimap quiet mask (the driver can run minimap detection every Nth
+    frame: its bounds only move on zoom changes)."""
     brq_h, brq_w = map_h // 2, map_w // 2
     mask_bytes = map_h * ((map_w + 7) // 8)
     scales_bytes = brq_h * ((brq_w + 7) // 8)
@@ -243,8 +245,9 @@ def hostpack_layout(map_h: int, map_w: int, with_ocr: bool = True) -> dict:
         ("red_ratio", 4),
         ("ui_check", 8),
         ("lsd_bits", mask_bytes),
-        ("quiet_bits", mask_bytes),
     ]
+    if with_quiet:
+        sections += [("quiet_bits", mask_bytes)]
     if with_ocr:
         sections += [("scales_bits", scales_bytes), ("ocr_img", ocr_bytes)]
     layout = {}
@@ -256,18 +259,23 @@ def hostpack_layout(map_h: int, map_w: int, with_ocr: bool = True) -> dict:
     return layout
 
 
-@functools.partial(jax.jit, static_argnames=("grayscale", "with_ocr"))
+@functools.partial(jax.jit, static_argnames=("grayscale", "with_ocr", "with_quiet"))
 def _analyze_packed(
-    map_bgra: jnp.ndarray, btn_bgra: jnp.ndarray, grayscale: bool, with_ocr: bool = True
+    map_bgra: jnp.ndarray,
+    btn_bgra: jnp.ndarray,
+    grayscale: bool,
+    with_ocr: bool = True,
+    with_quiet: bool = True,
 ):
     """Returns {"hostpack": u8 [N], "ui": ..., "lsd_mask": ...}."""
     out = _analyze_map(map_bgra, grayscale=grayscale, with_isolated=False)
     red = _red_gate_roi(btn_bgra)
-    return _pack_outputs(out, red, with_ocr)
+    return _pack_outputs(out, red, with_ocr, with_quiet)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("map_h", "map_w", "btn_h", "btn_w", "grayscale", "with_ocr")
+    jax.jit,
+    static_argnames=("map_h", "map_w", "btn_h", "btn_w", "grayscale", "with_ocr", "with_quiet"),
 )
 def _analyze_packed_flat(
     rois: jnp.ndarray,
@@ -277,6 +285,7 @@ def _analyze_packed_flat(
     btn_w: int,
     grayscale: bool,
     with_ocr: bool = True,
+    with_quiet: bool = True,
 ):
     """Same as _analyze_packed but takes BOTH ROIs in one flat u8 upload
     (H2D is latency-bound like D2H: one transfer beats two)."""
@@ -285,18 +294,19 @@ def _analyze_packed_flat(
     btn_bgra = rois[map_bytes : map_bytes + btn_h * btn_w * 4].reshape(btn_h, btn_w, 4)
     out = _analyze_map(map_bgra, grayscale=grayscale, with_isolated=False)
     red = _red_gate_roi(btn_bgra)
-    return _pack_outputs(out, red, with_ocr)
+    return _pack_outputs(out, red, with_ocr, with_quiet)
 
 
-def _pack_outputs(out: dict, red: jnp.ndarray, with_ocr: bool) -> dict:
+def _pack_outputs(out: dict, red: jnp.ndarray, with_ocr: bool, with_quiet: bool = True) -> dict:
     red_u8 = jax.lax.bitcast_convert_type(red[None], jnp.uint8).reshape(-1)
     check_u8 = jax.lax.bitcast_convert_type(out["ui_check"], jnp.uint8).reshape(-1)
     parts = [
         red_u8,
         check_u8,
         out["lsd_bits"].reshape(-1),
-        out["quiet_bits"].reshape(-1),
     ]
+    if with_quiet:
+        parts += [out["quiet_bits"].reshape(-1)]
     if with_ocr:
         parts += [out["scales_bits"].reshape(-1), out["ocr_img"].reshape(-1)]
     pack = jnp.concatenate(parts)

@@ -147,12 +147,20 @@ class VisionState:
         ocr_engine: Optional[OcrEngine] = None,
         debug_view: DebugView = DebugView.NONE,
         collect_debug_overlays: bool = False,
+        minimap_every: int = 1,
     ) -> None:
+        """minimap_every=N runs minimap-bounds detection every Nth frame and
+        reuses cached bounds in between (they only move on zoom changes) —
+        a perf knob that also drops the quiet mask from the device fetch.
+        N=1 (default) matches the reference's every-frame behaviour."""
         self.settings = settings or Settings(path=None)
         self.delegate = BackendDelegate(self.settings)
         self.ocr_engine = ocr_engine
         self.debug_view = debug_view
         self.collect_debug_overlays = collect_debug_overlays
+        self.minimap_every = max(1, minimap_every)
+        self._frame_counter = 0
+        self._minimap_cache: Optional[tuple[tuple[int, int], Optional[Rect]]] = None
         self._pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="vision-branch"
         )
@@ -184,6 +192,17 @@ class VisionState:
         if hasattr(backend, "scales_enabled"):
             backend.scales_enabled = self.ocr_engine is not None and not heightmaps.is_set()
 
+        frame_size = (frame.image.shape[1], frame.image.shape[0])
+        self._frame_counter += 1
+        minimap_due = (
+            self.minimap_every == 1
+            or self._frame_counter % self.minimap_every == 1
+            or self._minimap_cache is None
+            or self._minimap_cache[0] != frame_size
+        )
+        if hasattr(backend, "quiet_enabled"):
+            backend.quiet_enabled = minimap_due
+
         with timeshare(shares, "load_frame"):
             backend.load_frame(frame.image)
 
@@ -198,13 +217,17 @@ class VisionState:
         results = VisionResults(map_fn=ui_map if callable(ui_map) else (lambda: ui_map))
 
         with timeshare(shares, "find_minimap"):
-            quiet_fn = getattr(backend, "minimap_quiet_map", None)
-            quiet = quiet_fn() if callable(quiet_fn) else None
-            if quiet is not None:
-                results.minimap_bounds = fm.find_minimap_quiet(quiet)
+            if not minimap_due and self._minimap_cache is not None:
+                results.minimap_bounds = self._minimap_cache[1]
             else:
-                cpu_frame = backend.get_cpu_frame()
-                results.minimap_bounds = fm.find_minimap(cpu_frame[y : y + h, x : x + w])
+                quiet_fn = getattr(backend, "minimap_quiet_map", None)
+                quiet = quiet_fn() if callable(quiet_fn) else None
+                if quiet is not None:
+                    results.minimap_bounds = fm.find_minimap_quiet(quiet)
+                else:
+                    cpu_frame = backend.get_cpu_frame()
+                    results.minimap_bounds = fm.find_minimap(cpu_frame[y : y + h, x : x + w])
+                self._minimap_cache = (frame_size, results.minimap_bounds)
 
         def markers_branch() -> list[Line]:
             if not self.settings.detect_markers():

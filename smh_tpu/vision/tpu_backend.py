@@ -52,6 +52,9 @@ class TpuBackend:
         # The driver disables this when a heightmap supplies distances or no
         # OCR engine exists: the OCR image then never leaves the device.
         self.scales_enabled = True
+        # Minimap quiet mask cadence: the driver may skip it on frames where
+        # it reuses cached minimap bounds (bounds only move on zoom changes).
+        self.quiet_enabled = True
         if lsd_engine == "auto":
             from .. import native
 
@@ -106,6 +109,7 @@ class TpuBackend:
         # reference's "gate first, then compute" order inverts: computing the
         # sleeping frame costs ~0.5 ms of device time and saves a roundtrip.)
         with_ocr = self.scales_enabled
+        with_quiet = self.quiet_enabled
         self._results = ops_pipeline._analyze_packed_flat(
             self.rois_dev,
             map_h=g.map_h,
@@ -114,9 +118,12 @@ class TpuBackend:
             btn_w=g.btn_w,
             grayscale=grayscale,
             with_ocr=with_ocr,
+            with_quiet=with_quiet,
         )
         pack = np.asarray(self._results["hostpack"])
-        layout = ops_pipeline.hostpack_layout(g.map_h, g.map_w, with_ocr=with_ocr)
+        layout = ops_pipeline.hostpack_layout(
+            g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=with_quiet
+        )
 
         def sect(name):
             off, size = layout[name]
@@ -131,8 +138,9 @@ class TpuBackend:
         self._host = {
             "ui_check": tuple(int(v) for v in sect("ui_check").view(np.uint32)),
             "lsd_bits": sect("lsd_bits").reshape(g.map_h, mask_row),
-            "quiet_bits": sect("quiet_bits").reshape(g.map_h, mask_row),
         }
+        if with_quiet:
+            self._host["quiet_bits"] = sect("quiet_bits").reshape(g.map_h, mask_row)
         if with_ocr:
             self._host["scales_bits"] = sect("scales_bits").reshape(g.brq_h, brq_row)
             self._host["ocr_img"] = sect("ocr_img").reshape(g.brq_h, g.brq_w)
@@ -177,7 +185,7 @@ class TpuBackend:
 
     def minimap_quiet_map(self) -> Optional[np.ndarray]:
         """Low-edginess mask from the fused pass (find_minimap fast path)."""
-        if self._host is None or self.geom is None:
+        if self._host is None or self.geom is None or "quiet_bits" not in self._host:
             return None
         return ops_pipeline.unpack_bits_host(self._host["quiet_bits"], self.geom.map_w).astype(bool)
 
