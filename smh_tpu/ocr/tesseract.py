@@ -195,10 +195,18 @@ def available(lang: str = "eng") -> bool:
     return _availability
 
 
-def create_default_engine() -> Optional[TesseractEngine]:
-    if not available():
-        return None
+def create_default_engine():
+    """Tesseract when the system has it + traineddata; otherwise the
+    self-contained template engine (smhocr) so the scales path still works
+    with zero external assets; None only if neither can start."""
+    if available():
+        try:
+            return TesseractEngine()
+        except RuntimeError:
+            pass
     try:
-        return TesseractEngine()
-    except RuntimeError:
+        from .smhocr import SmhOcrEngine
+
+        return SmhOcrEngine()
+    except Exception:
         return None

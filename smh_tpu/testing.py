@@ -69,17 +69,12 @@ def make_frame(
     ys, xs = np.nonzero(mask)
     _put_rgb(map_view, ys, xs, ALPHA_MARKER_RGB)
 
-    # Scale bars drawn into the BRQ in black: |----| shape, on a white strip
-    # so the binarize keeps the surroundings at 255.
+    # Scale bars drawn into the BRQ in black: |----| shape. The background is
+    # already non-zero-luma, which is all the scales binarize needs; a bright
+    # surround would bleed into the OCR keep-mask as a giant blob.
     if scale_bars:
         brq_view = frame[g.brq_y : g.brq_y + g.brq_h, g.brq_x : g.brq_x + g.brq_w]
         for x, y, width, thickness in scale_bars:
-            pad = 8
-            y0 = max(0, y - pad)
-            y1 = min(g.brq_h, y + 4 + pad)
-            x0 = max(0, x - pad)
-            x1 = min(g.brq_w, x + width + 1 + pad)
-            brq_view[y0:y1, x0:x1, :3] = 255
             # horizontal line
             brq_view[y : y + thickness, x : x + width + 1, :3] = 0
             # vertical end bars (4 px down from the line's row)
