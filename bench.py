@@ -130,9 +130,13 @@ def main() -> None:
     state = build_state()
     frames = [Frame(f, dpi=96) for f in make_bench_frames(w, h)]
 
-    # Warmup: compile all buckets (fused pass + red gate + ray march).
+    # Warmup: compile all buckets (fused pass + red gate + ray march). First
+    # compile through a remote compile service can take minutes; progress
+    # goes to stderr so a watching driver knows the bench is alive.
     for i in range(3):
+        t0 = time.perf_counter()
         res = state.process(frames[i % len(frames)])
+        print(f"warmup {i}: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
     assert res is not None and len(res.markers) >= 1, "bench frame must detect"
 
     lat = []
