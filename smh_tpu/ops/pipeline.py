@@ -163,12 +163,6 @@ def _analyze_map(map_bgra: jnp.ndarray, grayscale: bool, with_isolated: bool):
     map_h, map_w = map_bgra.shape[:2]
     brq_h, brq_w = map_h // 2, map_w // 2
     map_rgb = _bgra_to_rgb(map_bgra)
-    return _analyze_map_body(map_bgra, map_rgb, grayscale, with_isolated)
-
-
-def _analyze_map_body(map_bgra, map_rgb, grayscale: bool, with_isolated: bool):
-    map_h, map_w = map_bgra.shape[:2]
-    brq_h, brq_w = map_h // 2, map_w // 2
 
     marker = hsv.is_any_map_marker_color(map_rgb)
 

@@ -34,7 +34,14 @@ ORACLE_SAMPLES = [
     "in_mortar.png",
     "tinyscales.png",
 ]
-TPU_SAMPLES = ["point.png", "point_intersect.png", "in_mortar.png"]
+TPU_SAMPLES = [
+    "point.png",
+    "point_intersect.png",
+    "in_mortar.png",
+    "points.png",
+    "full_1600x1024.png",
+    "lol.png",
+]
 
 
 def run_oracle(name):
