@@ -109,12 +109,71 @@ def run_batch_mode(w: int, h: int, res: str, iters: int, batch: int = 8) -> None
     )
 
 
+def run_stream_mode(w: int, h: int, res: str, seconds: float = 10.0) -> None:
+    """Sustained live-loop throughput with the double-buffered (pipelined)
+    VisionLoop: frames in flight overlap upload/dispatch with fetch/host."""
+    import itertools
+    import threading
+
+    from smh_tpu.squadex.capture import CaptureThread, Frame
+    from smh_tpu.vision.pipeline import VisionLoop
+
+    state = build_state()
+    frames = make_bench_frames(w, h, n=4)
+
+    class Cycle:
+        def __init__(self):
+            self.it = itertools.cycle(frames)
+
+        def grab(self):
+            return Frame(next(self.it), 96)
+
+    n_updates = [0]
+    lock = threading.Lock()
+
+    def on_update(r, d):
+        with lock:
+            n_updates[0] += 1
+
+    cap = CaptureThread(Cycle(), hz=1000).start()
+    loop = VisionLoop(state, cap, on_update, fps=1000, pipelined=True).start()
+    # warmup (compiles)
+    deadline = time.time() + 300
+    while n_updates[0] < 3 and time.time() < deadline:
+        time.sleep(0.1)
+    with lock:
+        n0 = n_updates[0]
+    t0 = time.perf_counter()
+    time.sleep(seconds)
+    with lock:
+        n1 = n_updates[0]
+    elapsed = time.perf_counter() - t0
+    loop.stop()
+    cap.stop()
+    state.close()
+
+    fps = (n1 - n0) / elapsed
+    per_frame_ms = 1000.0 / fps if fps > 0 else float("inf")
+    print(
+        json.dumps(
+            {
+                "metric": f"{res}_pipelined_stream_throughput",
+                "value": round(per_frame_ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(8.0 / per_frame_ms, 4),
+                "fps_per_chip": round(fps, 2),
+                "frames": n1 - n0,
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", default="4k", choices=["4k", "1440p", "1080p"])
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--mode", default="latency", choices=["latency", "batch"])
+    ap.add_argument("--mode", default="latency", choices=["latency", "batch", "stream"])
     ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
 
@@ -123,6 +182,9 @@ def main() -> None:
 
     if args.mode == "batch":
         run_batch_mode(w, h, args.res, max(4, iters // 2), batch=args.batch)
+        return
+    if args.mode == "stream":
+        run_stream_mode(w, h, args.res, seconds=5.0 if args.quick else 10.0)
         return
 
     from smh_tpu.squadex.capture import Frame

@@ -46,12 +46,13 @@ class App:
         port: int = 8080,
         ocr_engine=None,
         serve: bool = True,
+        pipelined: bool = False,
     ) -> None:
         self.settings = settings or Settings()
         self.ocr_engine = ocr_engine if ocr_engine is not None else tesseract.create_default_engine()
         self.state = VisionState(settings=self.settings, ocr_engine=self.ocr_engine)
         self.capture = CaptureThread(source)
-        self.loop = VisionLoop(self.state, self.capture, self._on_update)
+        self.loop = VisionLoop(self.state, self.capture, self._on_update, pipelined=pipelined)
         self.web = WebServer(port=port) if serve else None
         self.custom_markers: list[tuple[tuple[float, float], tuple[float, float]]] = []
         self._lock = threading.Lock()
@@ -79,7 +80,6 @@ class App:
             [((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in results.markers], custom=False
         )
         self.web.send_update_state(results.meters_to_px_ratio, results.minimap_bounds)
-        self._drain_interactions()
 
     def _on_client_connect(self) -> None:
         """A viewer just joined: materialize and push the current map."""
@@ -166,6 +166,11 @@ def main(argv=None) -> int:
     ap.add_argument("--dpi", type=int, default=None)
     ap.add_argument("--backend", choices=["tpu", "numpy"], default=None)
     ap.add_argument("--no-web", action="store_true")
+    ap.add_argument(
+        "--pipelined", action="store_true",
+        help="double-buffered streaming: overlap next frame's device work with "
+             "current frame's result processing (+1 frame latency, ~25%% more fps)",
+    )
     ap.add_argument("--settings", default="settings.json")
     ap.add_argument("--dumplogs", action="store_true", help="also log to smh.log")
     # heightmap tooling (counterpart of the heightmap browser UI flows)
@@ -213,7 +218,10 @@ def main(argv=None) -> int:
     if args.backend:
         settings.set("hardware_acceleration", args.backend == "tpu")
 
-    app = App(_build_source(args), settings=settings, port=args.port, serve=not args.no_web)
+    app = App(
+        _build_source(args), settings=settings, port=args.port,
+        serve=not args.no_web, pipelined=args.pipelined,
+    )
 
     if args.heightmap:
         from .squadex import heightmaps as hms

@@ -171,22 +171,8 @@ class VisionState:
 
     # ------------------------------------------------------------------
 
-    def process(self, frame: Frame, debug: Optional[DebugBox] = None) -> Optional[VisionResults]:
-        backend = self.delegate.current()
-        try:
-            return self._process(backend, frame, debug)
-        except Exception:
-            if backend.name == "tpu":
-                log.exception("TPU backend failed; falling back to numpy")
-                self.delegate.mark_tpu_failed()
-                return self._process(self.delegate.current(), frame, debug)
-            raise
-
-    def _process(self, backend, frame: Frame, debug: Optional[DebugBox]) -> Optional[VisionResults]:
-        debug = debug if debug is not None else DebugBox()
-        shares = debug.timeshares
-        start = time.perf_counter()
-
+    def _prepare(self, backend, frame: Frame) -> tuple[bool, tuple[int, int]]:
+        """Set per-frame backend flags; decide the minimap cadence."""
         if hasattr(backend, "set_debug"):
             backend.set_debug(self.debug_view != DebugView.NONE)
         if hasattr(backend, "scales_enabled"):
@@ -202,9 +188,60 @@ class VisionState:
         )
         if hasattr(backend, "quiet_enabled"):
             backend.quiet_enabled = minimap_due
+        return minimap_due, frame_size
 
-        with timeshare(shares, "load_frame"):
+    def submit(self, frame: Frame) -> Optional[dict]:
+        """Pipelined mode: upload + dispatch a frame WITHOUT waiting for its
+        results, so the fetch of the previous frame overlaps this one's
+        device work. Returns None when the backend cannot pipeline."""
+        backend = self.delegate.current()
+        if not hasattr(backend, "snapshot_job"):
+            return None
+        try:
+            minimap_due, frame_size = self._prepare(backend, frame)
             backend.load_frame(frame.image)
+            backend.dispatch(grayscale=self.settings.grayscale_map())
+            return {
+                "job": backend.snapshot_job(),
+                "minimap_due": minimap_due,
+                "frame_size": frame_size,
+            }
+        except Exception:
+            log.exception("submit failed; frame will be processed unpipelined")
+            return None
+
+    def process(
+        self, frame: Frame, debug: Optional[DebugBox] = None, submitted: Optional[dict] = None
+    ) -> Optional[VisionResults]:
+        backend = self.delegate.current()
+        try:
+            return self._process(backend, frame, debug, submitted)
+        except Exception:
+            if backend.name == "tpu":
+                log.exception("TPU backend failed; falling back to numpy")
+                self.delegate.mark_tpu_failed()
+                return self._process(self.delegate.current(), frame, debug, None)
+            raise
+
+    def _process(
+        self,
+        backend,
+        frame: Frame,
+        debug: Optional[DebugBox],
+        submitted: Optional[dict] = None,
+    ) -> Optional[VisionResults]:
+        debug = debug if debug is not None else DebugBox()
+        shares = debug.timeshares
+        start = time.perf_counter()
+
+        if submitted is not None and hasattr(backend, "adopt_job"):
+            backend.adopt_job(submitted["job"])
+            minimap_due = submitted["minimap_due"]
+            frame_size = submitted["frame_size"]
+        else:
+            minimap_due, frame_size = self._prepare(backend, frame)
+            with timeshare(shares, "load_frame"):
+                backend.load_frame(frame.image)
 
         with timeshare(shares, "crop_to_map"):
             cropped = backend.crop_to_map(self.settings.grayscale_map())
@@ -334,46 +371,79 @@ class VisionLoop:
         capture: CaptureThread,
         on_update,
         fps: float = float(C.VISION_FPS),
+        pipelined: bool = False,
     ) -> None:
+        """pipelined=True keeps two frames in flight: frame N+1's upload +
+        device dispatch overlaps frame N's result fetch + host stages (the
+        BASELINE "double-buffered streaming capture" configuration; ~25-30%
+        higher throughput on a latency-bound host link, at +1 frame of
+        result latency)."""
         self.state = state
         self.capture = capture
         self.on_update = on_update
         self._interval = 1.0 / fps
+        self.pipelined = pipelined
         self._shutdown = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.fake_input: Optional[np.ndarray] = None  # Fake Input harness
 
+    def _next_frame(self) -> Optional[Frame]:
+        if self.fake_input is not None:
+            return Frame(self.fake_input, None)
+        return self.capture.fresh_frame()
+
+    def _step(self, frame: Frame, submitted: Optional[dict] = None) -> None:
+        debug = DebugBox()
+        try:
+            results = self.state.process(frame, debug, submitted=submitted)
+        except Exception:
+            # Per-frame error tolerance: log and drop the frame
+            # (src/vision/mod.rs:271-277).
+            log.exception("error processing frame")
+            return
+        self.on_update(results, debug)
+
     def _run(self) -> None:
+        pending: Optional[tuple[Frame, dict]] = None
         while not self._shutdown.is_set():
             if self.state.settings.paused():
+                if pending is not None:  # drain before parking
+                    self._step(pending[0], pending[1])
+                    pending = None
                 self._shutdown.wait(0.05)
                 continue
 
-            if self.fake_input is not None:
-                frame = Frame(self.fake_input, None)
-            else:
-                frame = self.capture.fresh_frame()
+            frame = self._next_frame()
 
             if frame is None:
+                if pending is not None:
+                    self._step(pending[0], pending[1])
+                    pending = None
+                    continue
                 self._shutdown.wait(self._interval)
                 continue
 
             t0 = time.perf_counter()
-            debug = DebugBox()
-            try:
-                results = self.state.process(frame, debug)
-            except Exception:
-                # Per-frame error tolerance: log and drop the frame
-                # (src/vision/mod.rs:271-277).
-                log.exception("error processing frame")
-                continue
 
-            self.on_update(results, debug)
+            if self.pipelined:
+                sub = self.state.submit(frame)
+                if sub is not None:
+                    if pending is not None:
+                        self._step(pending[0], pending[1])
+                    pending = (frame, sub)
+                    elapsed = time.perf_counter() - t0
+                    if elapsed < self._interval:
+                        self._shutdown.wait(self._interval - elapsed)
+                    continue
+                # backend can't pipeline: fall through to synchronous
 
+            self._step(frame)
             elapsed = time.perf_counter() - t0
             if elapsed < self._interval:
                 self._shutdown.wait(self._interval - elapsed)
 
+        if pending is not None:
+            self._step(pending[0], pending[1])
         log.info("vision loop shutting down")
 
     def start(self) -> "VisionLoop":

@@ -46,6 +46,7 @@ class TpuBackend:
         self._lsd_mask_host: Optional[np.ndarray] = None
         self._debug = False
         self._grayscale = True
+        self._dispatch_flags: tuple = (True, True, True)
         self._host: Optional[dict] = None  # parsed hostpack sections
         self._ui_check: Optional[tuple] = None
         self._ui_map_cache: Optional[np.ndarray] = None
@@ -98,28 +99,60 @@ class TpuBackend:
 
     # -- stages ---------------------------------------------------------------
 
-    def crop_to_map(self, grayscale: bool) -> Optional[tuple[np.ndarray, tuple[int, int, int, int]]]:
+    def dispatch(self, grayscale: Optional[bool] = None) -> None:
+        """Launch the fused pass for the loaded frame (async: returns before
+        the device finishes; the hostpack fetch in crop_to_map blocks).
+        Separated from crop_to_map so a pipelined loop can overlap frame
+        N+1's upload+dispatch with frame N's fetch + host stages."""
         assert self.rois_dev is not None and self.geom is not None
+        if grayscale is not None:
+            self._grayscale = grayscale
         g = self.geom
-        self._grayscale = grayscale
-
-        # ONE dispatch, ONE device->host fetch: the packed buffer carries the
-        # red gate, ui checksum, all bit-masks and the OCR image. (The fetch
-        # latency, ~25 ms on this relay, dominates any payload size, so the
-        # reference's "gate first, then compute" order inverts: computing the
-        # sleeping frame costs ~0.5 ms of device time and saves a roundtrip.)
-        with_ocr = self.scales_enabled
-        with_quiet = self.quiet_enabled
+        self._dispatch_flags = (self.scales_enabled, self.quiet_enabled, self._grayscale)
         self._results = ops_pipeline._analyze_packed_flat(
             self.rois_dev,
             map_h=g.map_h,
             map_w=g.map_w,
             btn_h=g.btn_h,
             btn_w=g.btn_w,
-            grayscale=grayscale,
-            with_ocr=with_ocr,
-            with_quiet=with_quiet,
+            grayscale=self._grayscale,
+            with_ocr=self.scales_enabled,
+            with_quiet=self.quiet_enabled,
         )
+
+    def snapshot_job(self) -> dict:
+        """Capture the in-flight frame's device state so another frame can be
+        loaded while this one is still being consumed (pipelined loop)."""
+        return {
+            "rois_dev": self.rois_dev,
+            "results": self._results,
+            "geom": self.geom,
+            "frame_np": self.frame_np,
+            "flags": self._dispatch_flags,
+        }
+
+    def adopt_job(self, job: dict) -> None:
+        self.rois_dev = job["rois_dev"]
+        self._results = job["results"]
+        self.geom = job["geom"]
+        self.frame_np = job["frame_np"]
+        self.scales_enabled, self.quiet_enabled, self._grayscale = job["flags"]
+        self._host = None
+        self._lsd_mask_host = None
+
+    def crop_to_map(self, grayscale: bool) -> Optional[tuple[np.ndarray, tuple[int, int, int, int]]]:
+        assert self.rois_dev is not None and self.geom is not None
+        g = self.geom
+
+        # ONE dispatch, ONE device->host fetch: the packed buffer carries the
+        # red gate, ui checksum, all bit-masks and the OCR image. (The fetch
+        # latency, ~25 ms on this relay, dominates any payload size, so the
+        # reference's "gate first, then compute" order inverts: computing the
+        # sleeping frame costs ~0.5 ms of device time and saves a roundtrip.)
+        if self._results is None or self._grayscale != grayscale:
+            self._grayscale = grayscale
+            self.dispatch()
+        with_ocr, with_quiet, _ = self._dispatch_flags
         pack = np.asarray(self._results["hostpack"])
         layout = ops_pipeline.hostpack_layout(
             g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=with_quiet
