@@ -1,0 +1,60 @@
+"""CLI flows via subprocess: heightmap tools + app startup/shutdown."""
+
+import json
+import pathlib
+import signal
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+STUB = f"{sys.executable} -m smh_tpu.heightmaps.stub_ripper"
+
+
+def run_cli(*args, timeout=120):
+    return subprocess.run(
+        [sys.executable, "-m", "smh_tpu.app", *args],
+        cwd=REPO, capture_output=True, text=True, timeout=timeout,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu", "HOME": "/root",
+             "PYTHONPATH": str(REPO)},
+    )
+
+
+def test_cli_list_maps(tmp_path):
+    # The ripper "executable" is the python stub; pass it as a single argv[0]
+    # is not possible, so use a wrapper script.
+    wrapper = tmp_path / "ripper.sh"
+    wrapper.write_text(f"#!/bin/sh\nexec {STUB} \"$@\"\n")
+    wrapper.chmod(0o755)
+
+    r = run_cli("--list-maps", "--paks", "paks", "--ripper", str(wrapper))
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.strip().splitlines()
+    assert any("Mutaha.umap" in l for l in lines)
+    assert all("lighting_layers" not in l for l in lines)
+
+
+def test_cli_rip_and_export(tmp_path):
+    wrapper = tmp_path / "ripper.sh"
+    wrapper.write_text(f"#!/bin/sh\nexec {STUB} \"$@\"\n")
+    wrapper.chmod(0o755)
+    png = tmp_path / "hm.png"
+
+    r = run_cli(
+        "--rip", "SquadGame/Content/Maps/Mutaha/Mutaha.umap",
+        "--paks", "paks", "--ripper", str(wrapper),
+        "--cache-dir", str(tmp_path / "cache"), "--export-png", str(png),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "257x257" in r.stdout
+    assert png.exists()
+    assert list((tmp_path / "cache").glob("*.smhhm"))
+
+    # Second run hits the cache (ripper wrapper removed to prove it).
+    wrapper.unlink()
+    r2 = run_cli(
+        "--rip", "SquadGame/Content/Maps/Mutaha/Mutaha.umap",
+        "--paks", "paks", "--ripper", str(tmp_path / "gone.sh"),
+        "--cache-dir", str(tmp_path / "cache"),
+    )
+    assert r2.returncode == 0, r2.stderr
