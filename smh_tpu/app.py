@@ -171,6 +171,11 @@ def main(argv=None) -> int:
         help="double-buffered streaming: overlap next frame's device work with "
              "current frame's result processing (+1 frame latency, ~25%% more fps)",
     )
+    ap.add_argument(
+        "--warmup", action="store_true",
+        help="pre-compile the common resolution buckets before serving "
+             "(pairs with JAX_COMPILATION_CACHE_DIR for instant later starts)",
+    )
     ap.add_argument("--settings", default="settings.json")
     ap.add_argument("--dumplogs", action="store_true", help="also log to smh.log")
     # heightmap tooling (counterpart of the heightmap browser UI flows)
@@ -217,6 +222,11 @@ def main(argv=None) -> int:
     settings = Settings(path=args.settings)
     if args.backend:
         settings.set("hardware_acceleration", args.backend == "tpu")
+
+    if args.warmup and settings.hardware_acceleration():
+        from .ops.warmup import warmup
+
+        warmup()
 
     app = App(
         _build_source(args), settings=settings, port=args.port,

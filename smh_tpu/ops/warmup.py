@@ -1,0 +1,36 @@
+"""AOT warmup of the per-resolution jit buckets.
+
+The reference vendors pre-built PTX for six compute capabilities so first
+launch never pays nvcc (vision-gpu/build.rs:92-158, cuda.rs:60-66). The XLA
+equivalent is the persistent compilation cache (JAX_COMPILATION_CACHE_DIR)
+plus this warmup: compile every bucket a deployment will use, up front,
+instead of stuttering on the first frame of each resolution (first compile
+through a remote compile service can take minutes).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+COMMON_RESOLUTIONS = ((1920, 1080), (2560, 1440), (3840, 2160))
+
+
+def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
+    """Compile (or cache-load) the fused pass + march for each resolution."""
+    from .. import consts as C, testing
+    from ..vision.tpu_backend import TpuBackend
+
+    for w, h in resolutions:
+        t0 = time.time()
+        be = TpuBackend()
+        frame = testing.make_frame(w, h, marker_lines=[((50, 50), (200, 120))])
+        be.load_frame(frame)
+        out = be.crop_to_map(grayscale)
+        if out is not None:
+            be.find_marker_lines(C.LSD_MAX_GAP)
+        log.info("warmup %dx%d: %.1fs", w, h, time.time() - t0)
