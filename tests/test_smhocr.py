@@ -85,3 +85,18 @@ def test_rejects_garbage():
 
     blank = np.full((100, 100), 255, dtype=np.uint8)
     assert eng.read(blank) == []
+
+
+@pytest.mark.parametrize("text,expected", [("600m", 600), ("900m", 900), ("150m", 150), ("1200m", 1200)])
+def test_digit_discrimination(text, expected):
+    """6/9 and other confusable digits must resolve correctly on rendered text."""
+    eng = SmhOcrEngine()
+    frame = render_text_frame(text=text)
+    from smh_tpu.vision.reference import ReferenceBackend
+
+    be = ReferenceBackend()
+    be.load_frame(frame)
+    assert be.crop_to_map(True) is not None
+    results = eng.read(be.ocr_preprocess())
+    scales, _ = _parse_scales(results)
+    assert [m for m, _ in scales] == [expected], results
