@@ -62,7 +62,13 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        # Rebuild when the C++ source OR the consts (compiled into the
+        # generated header) are newer than the library.
+        src_mtime = max(
+            _SRC.stat().st_mtime,
+            (pathlib.Path(C.__file__).parent / "consts.toml").stat().st_mtime,
+        )
+        if not _SO.exists() or _SO.stat().st_mtime < src_mtime:
             if not _build():
                 return None
         try:

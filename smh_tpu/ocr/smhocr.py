@@ -118,7 +118,6 @@ class SmhOcrEngine:
             return []
 
         # Group glyphs into words: same baseline band + small horizontal gap.
-        glyphs.sort(key=lambda g: (g[1], g[0]))
         words: list[list[tuple]] = []
         for g in sorted(glyphs, key=lambda g: g[0]):
             placed = False

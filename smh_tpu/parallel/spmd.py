@@ -111,7 +111,10 @@ def full_step(frames: jax.Array, pts: jax.Array, mesh: Mesh) -> dict:
     # (dp, sp) to (dp,) — XLA emits the all-gather along "sp" on ICI.
     masks = jax.device_put(masks, NamedSharding(mesh, P("dp")))
     ends, lengths = march_batch(masks, pts, mesh)
-    best = jnp.argmax(lengths, axis=1)
+    # Ties -> last angle, like the oracle's right-biased fold and the
+    # single-chip reducers (ops/lsd._finalize).
+    n = lengths.shape[1]
+    best = (n - 1) - jnp.argmax(lengths[:, ::-1], axis=1)
     best_ends = jnp.take_along_axis(ends, best[:, None, None], axis=1)[:, 0]
     best_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
     return {

@@ -40,13 +40,14 @@ def bearings(line: Line) -> tuple[float, float]:
             bearing_fwd += 360.0
     else:
         bearing_fwd += 270.0
-    bearing_fwd = _round_half_even_f32(bearing_fwd) % 360.0
-    bearing_bck = _round_half_even_f32(bearing_fwd + 180.0) % 360.0
+    bearing_fwd = _round_half_away(bearing_fwd) % 360.0
+    bearing_bck = _round_half_away(bearing_fwd + 180.0) % 360.0
     return bearing_fwd, bearing_bck
 
 
-def _round_half_even_f32(v: float) -> float:
-    # Rust f32::round rounds half away from zero.
+def _round_half_away(v: float) -> float:
+    # Rust f32/f64::round rounds half away from zero (Python's round() is
+    # banker's rounding and would diverge on exact .5 values).
     return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
 
 
@@ -82,8 +83,9 @@ def heightmap_meters(
 
     meters = math.sqrt((p0x - p1x) ** 2 + (p0y - p1y) ** 2)
 
-    i0x, i0y = round(p0x), round(p0y)
-    i1x, i1y = round(p1x), round(p1y)
+    # Rust f64::round semantics (half away from zero), markers.rs:74-77.
+    i0x, i0y = int(_round_half_away(p0x)), int(_round_half_away(p0y))
+    i1x, i1y = int(_round_half_away(p1x)), int(_round_half_away(p1y))
     if not (
         0 <= i0x < hm.width
         and 0 <= i0y < hm.height

@@ -32,21 +32,6 @@ def get_edginess(view: np.ndarray, x: int, y: int) -> float:
     return best / 765.0
 
 
-def _edginess_row(view: np.ndarray, y: int) -> np.ndarray:
-    """Edginess for every interior x of row y (vectorized helper)."""
-    c = view[y - 1 : y + 2, :, :3].astype(np.int16)
-    centre = c[1:2, 1:-1]
-    best = np.zeros(c.shape[1] - 2, dtype=np.int16)
-    for dy in range(3):
-        for dx in range(3):
-            if dy == 1 and dx == 1:
-                continue
-            nb = c[dy : dy + 1, dx : dx + c.shape[1] - 2]
-            d = np.abs(centre - nb).sum(axis=-1)[0]
-            best = np.maximum(best, d)
-    return best / 765.0
-
-
 def find_minimap(view: np.ndarray) -> Optional[Rect]:
     """Find the minimap rectangle within the map ROI view (BGRA u8).
 

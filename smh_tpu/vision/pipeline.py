@@ -123,10 +123,12 @@ def _parse_scales(
         m = ocr.text.rfind("m")
         if m < 0:
             continue
-        try:
-            scale = int(ocr.text[:m])
-        except ValueError:
+        # The reference parses u32 (src/vision/mod.rs:170): digits only —
+        # Python's int() would also accept "-100"/" 100"/"1_00".
+        prefix = ocr.text[:m]
+        if not prefix.isdigit():
             continue
+        scale = int(prefix)
         if scale == 0:
             continue
         scales_start_y = ocr.bottom if scales_start_y is None else min(scales_start_y, ocr.bottom)
@@ -337,7 +339,12 @@ class VisionState:
 
         # Scales branch is skipped entirely when a heightmap supplies
         # distances (src/vision/mod.rs:121-123) or no OCR engine exists.
-        run_scales = self.ocr_engine is not None and not heightmaps.is_set()
+        # Must mirror the decision that shaped the DISPATCHED hostpack, not a
+        # fresh heightmaps.is_set() read (a heightmap toggled mid-flight would
+        # make scales_branch read a section that was never packed).
+        run_scales = self.ocr_engine is not None and getattr(
+            backend, "scales_enabled", not heightmaps.is_set()
+        )
         if run_scales:
             f_markers = self._pool.submit(markers_branch)
             f_scales = self._pool.submit(scales_branch)
@@ -435,7 +442,11 @@ class VisionLoop:
                     if elapsed < self._interval:
                         self._shutdown.wait(self._interval - elapsed)
                     continue
-                # backend can't pipeline: fall through to synchronous
+                # Backend can't pipeline: keep delivery order — drain the
+                # older pending frame before processing this one.
+                if pending is not None:
+                    self._step(pending[0], pending[1])
+                    pending = None
 
             self._step(frame)
             elapsed = time.perf_counter() - t0

@@ -136,6 +136,10 @@ class TpuBackend:
         self._results = job["results"]
         self.geom = job["geom"]
         self.frame_np = job["frame_np"]
+        # Restore BOTH the flag attributes and the dispatch-time flags the
+        # hostpack was packed with (crop_to_map slices by _dispatch_flags;
+        # a later submit may have overwritten them with the next frame's).
+        self._dispatch_flags = job["flags"]
         self.scales_enabled, self.quiet_enabled, self._grayscale = job["flags"]
         self._host = None
         self._lsd_mask_host = None

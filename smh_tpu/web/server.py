@@ -175,11 +175,24 @@ class WebServer:
             await asyncio.get_running_loop().run_in_executor(None, self.on_client_connect)
 
         async def sender():
-            while True:
-                data = await queue.get()
-                if getattr(queue, "put_nowait_dropped", False):
-                    raise ConnectionError("client send queue overflow")
-                await asyncio.wait_for(websocket.send(data), timeout=SEND_TIMEOUT)
+            # A slow/stuck client must be disconnected (10 s policy,
+            # ws.rs:92-99): on timeout or queue overflow, drop it and close
+            # the socket so the reader loop below terminates too.
+            try:
+                while True:
+                    data = await queue.get()
+                    if getattr(queue, "put_nowait_dropped", False):
+                        raise ConnectionError("client send queue overflow")
+                    await asyncio.wait_for(websocket.send(data), timeout=SEND_TIMEOUT)
+            except asyncio.CancelledError:
+                raise
+            except Exception as e:
+                log.warning("dropping client %s: %s", websocket.remote_address, e)
+                self._clients.discard(queue)
+                try:
+                    await websocket.close()
+                except Exception:
+                    pass
 
         sender_task = asyncio.ensure_future(sender())
         try:
