@@ -71,3 +71,30 @@ def test_pipelined_matches_sync(hardware):
     # Same frames produce the same per-frame detections in either mode
     # (ordering may differ by the 1-frame pipeline offset, so compare sets).
     assert {summarize(u) for u in sync if u} == {summarize(u) for u in pipe if u}
+
+
+def test_pipelined_with_minimap_cadence():
+    """Regression: alternating quiet-mask flags between in-flight frames must
+    not corrupt hostpack parsing (adopt_job must restore dispatch flags)."""
+    frames = make_frames()
+    settings = Settings(path=None)
+    settings.set("hardware_acceleration", True)
+    state = VisionState(
+        settings=settings,
+        ocr_engine=FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)]),
+        minimap_every=2,  # quiet flag flips between consecutive frames
+    )
+    updates = []
+    cap = CaptureThread(Cycle(frames), hz=120).start()
+    loop = VisionLoop(state, cap, lambda r, d: updates.append(r), fps=120, pipelined=True).start()
+    deadline = time.time() + 60
+    while len(updates) < 8 and time.time() < deadline:
+        time.sleep(0.05)
+    loop.stop()
+    cap.stop()
+    state.close()
+    assert len(updates) >= 8
+    assert state.delegate.backend.name == "tpu"  # no silent numpy fallback
+    for u in updates:
+        assert u is not None and len(u.markers) == 1
+        assert u.meters_to_px_ratio is not None
