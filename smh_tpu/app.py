@@ -47,6 +47,7 @@ class App:
         ocr_engine=None,
         serve: bool = True,
         pipelined: bool = False,
+        debug_web: bool = False,
     ) -> None:
         self.settings = settings or Settings()
         self.ocr_engine = ocr_engine if ocr_engine is not None else tesseract.create_default_engine()
@@ -58,6 +59,8 @@ class App:
         self._lock = threading.Lock()
         self._shutdown = threading.Event()
         self._last_results = None
+        self.debug_web = debug_web
+        self._last_update_ts = None
         if self.web is not None:
             self.web.on_client_connect = self._on_client_connect
 
@@ -80,6 +83,20 @@ class App:
             [((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in results.markers], custom=False
         )
         self.web.send_update_state(results.meters_to_px_ratio, results.minimap_bounds)
+        if self.debug_web:
+            import time as _time
+
+            now = _time.time()
+            fps = 1.0 / (now - self._last_update_ts) if self._last_update_ts else 0.0
+            self._last_update_ts = now
+            self.web.send_debug(
+                {
+                    "fps": round(fps, 2),
+                    "backend": self.state.delegate.backend.name if self.state.delegate.backend else "?",
+                    "timeshares_ms": {k: round(v * 1000, 2) for k, v in debug.timeshares.as_dict().items()},
+                    "markers": len(results.markers),
+                }
+            )
 
     def _on_client_connect(self) -> None:
         """A viewer just joined: materialize and push the current map."""
@@ -171,6 +188,8 @@ def main(argv=None) -> int:
         help="double-buffered streaming: overlap next frame's device work with "
              "current frame's result processing (+1 frame latency, ~25%% more fps)",
     )
+    ap.add_argument("--debug-web", action="store_true",
+                    help="broadcast fps/timeshare telemetry to web clients (event id 100)")
     ap.add_argument(
         "--warmup", action="store_true",
         help="pre-compile the common resolution buckets before serving "
@@ -230,7 +249,7 @@ def main(argv=None) -> int:
 
     app = App(
         _build_source(args), settings=settings, port=args.port,
-        serve=not args.no_web, pipelined=args.pipelined,
+        serve=not args.no_web, pipelined=args.pipelined, debug_web=args.debug_web,
     )
 
     if args.heightmap:

@@ -33,6 +33,10 @@ EVENT_MARKERS = 2
 EVENT_UPDATE_STATE = 3
 EVENT_HEIGHTMAP = 4
 EVENT_FIT_TO_MINIMAP = 5
+# Extension (not in the reference protocol, opt-in via --debug-web): JSON
+# debug telemetry — fps, per-stage timeshares, backend name. Sent only when
+# enabled; clients that don't know the id can ignore it.
+EVENT_DEBUG = 100
 
 INTERACTION_ADD_CUSTOM_MARKER = 1
 INTERACTION_DELETE_CUSTOM_MARKER = 2
@@ -81,6 +85,12 @@ def encode_heightmap(hm: Optional[Heightmap]) -> bytes:
 
 def encode_fit_to_minimap(fit: bool) -> bytes:
     return struct.pack("<HB", EVENT_FIT_TO_MINIMAP, int(fit))
+
+
+def encode_debug(payload: dict) -> bytes:
+    import json
+
+    return struct.pack("<H", EVENT_DEBUG) + json.dumps(payload).encode()
 
 
 @dataclasses.dataclass(frozen=True)

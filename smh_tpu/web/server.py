@@ -137,6 +137,11 @@ class WebServer:
         self._event_data.fit_bytes = data
         self._broadcast(data)
 
+    def send_debug(self, payload: dict) -> None:
+        """Opt-in telemetry (event id 100; not part of the reference wire
+        protocol; unknown ids are ignorable by clients)."""
+        self._broadcast(protocol.encode_debug(payload))
+
     def recv(self) -> Optional[protocol.Interaction]:
         try:
             return self._interactions.get_nowait()
