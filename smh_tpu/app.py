@@ -59,6 +59,7 @@ class App:
         self._lock = threading.Lock()
         self._shutdown = threading.Event()
         self._last_results = None
+        self.fit_to_minimap = False
         self.debug_web = debug_web
         self._last_update_ts = None
         if self.web is not None:
@@ -132,6 +133,13 @@ class App:
         hm_store.set_current(hm)
         if self.web is not None:
             self.web.send_heightmap(hm)
+
+    def set_fit_to_minimap(self, fit: bool) -> None:
+        """Heightmap alignment mode (heightmaps.rs:794-826): fit the
+        heightmap to the detected minimap bounds vs apply its world offset."""
+        self.fit_to_minimap = fit
+        if self.web is not None:
+            self.web.send_fit_to_minimap(fit)
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -207,6 +215,8 @@ def main(argv=None) -> int:
     ap.add_argument("--skip-cache", action="store_true")
     ap.add_argument("--export-png", metavar="OUT.png", help="with --rip: export L16 PNG")
     ap.add_argument("--heightmap", help="load a .smhhm heightmap at startup")
+    ap.add_argument("--fit-to-minimap", action="store_true",
+                    help="align the heightmap by fitting it to the detected minimap bounds")
     args = ap.parse_args(argv)
 
     handlers = [logging.StreamHandler()]
@@ -260,6 +270,8 @@ def main(argv=None) -> int:
             log.error("failed to load heightmap %s", args.heightmap)
             return 1
         app.select_heightmap(hm)
+    if args.fit_to_minimap:
+        app.set_fit_to_minimap(True)
 
     def handle_sigint(signum, frame):
         log.info("shutting down...")
