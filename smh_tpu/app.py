@@ -64,6 +64,11 @@ class App:
         self._last_update_ts = None
         if self.web is not None:
             self.web.on_client_connect = self._on_client_connect
+            # Wake path for client interactions so custom markers work even
+            # when no new frames arrive (static --image sources): the
+            # reference wakes its UI loop the same way (web/src/ws.rs:60-74).
+            self.web.on_interaction = self._drain_interactions
+        self._last_map_id: int = 0
 
     # -- vision -> web push (src/ui/map.rs:222-233, state.rs:81-88) ---------
 
@@ -77,9 +82,13 @@ class App:
             return  # sleeping: keep the last map on clients
         self._last_results = results
         # The ui map is lazy: only pull it off the device (and encode 1-13 MB
-        # of websocket traffic) when someone is actually watching.
+        # of websocket traffic) when someone is watching AND it changed — the
+        # backend's checksum cache returns the identical array object for an
+        # unchanged map (the reference skips on crc32, src/ui/map.rs:213-226).
         if self.web.num_clients() > 0 and results.map is not None:
-            self.web.send_map(results.map)
+            if id(results.map) != self._last_map_id:
+                self.web.send_map(results.map)
+                self._last_map_id = id(results.map)
         self.web.send_markers(
             [((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in results.markers], custom=False
         )
@@ -250,7 +259,8 @@ def main(argv=None) -> int:
 
     settings = Settings(path=args.settings)
     if args.backend:
-        settings.set("hardware_acceleration", args.backend == "tpu")
+        # Session-only override: a CLI flag must not rewrite settings.json.
+        settings.set("hardware_acceleration", args.backend == "tpu", save=False)
 
     if args.warmup and settings.hardware_acceleration():
         from .ops.warmup import warmup

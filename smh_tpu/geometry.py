@@ -97,17 +97,3 @@ class BBox:
     def __iter__(self) -> Iterator[int]:
         return iter((self.x, self.y, self.w, self.h))
 
-
-def nearest_point_on_line(pt: Point, r0: Point, r1: Point) -> Point:
-    """Closest point to `pt` on the *infinite* line through r0-r1.
-
-    Deliberately unclamped (u may fall outside [0, 1]) to match the seed
-    suppression in the reference LSD scan
-    (/root/reference/vision-common/src/lsd.rs:47-58).
-    """
-    dx = r1.x - r0.x
-    dy = r1.y - r0.y
-    if dx == 0.0 and dy == 0.0:
-        return Point(r0.x, r0.y)
-    u = ((pt.x - r0.x) * dx + (pt.y - r0.y) * dy) / (dx * dx + dy * dy)
-    return Point(r0.x + u * dx, r0.y + u * dy)

@@ -126,7 +126,7 @@ inline void longest_line(const uint8_t* mask, int h, int w, float px, float py,
 // non-white (the reference uses unchecked reads and never hits the edge).
 inline void get_centre(const uint8_t* mask, int h, int w, float inx, float iny,
                        float* outx, float* outy) {
-    const float MAX_DIST = 5.0f;
+    const float MAX_DIST = LSD_CENTRE_MAX_DIST;
     const int yi = (int)iny;
     const int xi = (int)inx;
 

@@ -63,12 +63,12 @@ class Settings:
         with self._lock:
             return self._values[key]
 
-    def set(self, key: str, value: Any) -> None:
+    def set(self, key: str, value: Any, save: bool = True) -> None:
         if key not in _DEFAULTS:
             raise KeyError(key)
         with self._lock:
             self._values[key] = value
-        if self._autosave:
+        if save and self._autosave:
             self.save()
 
     # Typed conveniences (same names as the reference's accessors).

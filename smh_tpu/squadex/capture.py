@@ -155,10 +155,13 @@ class CaptureThread:
                 self._shutdown.wait(self._interval)
                 continue
             self._last_crc = crc
+            # Clear BEFORE publishing: a consumer that takes the frame
+            # between publish and wait would otherwise have its set() lost
+            # and the capture thread would stall a tick.
+            self._consumed.clear()
             with self._cond:
                 self._slot = frame
             # Park until the vision loop consumes the frame (capture.rs:83).
-            self._consumed.clear()
             self._consumed.wait(timeout=1.0)
 
     def start(self) -> "CaptureThread":

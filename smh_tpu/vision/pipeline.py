@@ -287,13 +287,20 @@ class VisionState:
                 ocr_image = backend.ocr_preprocess()
 
             dpi = frame.dpi
-            cache_key = zlib.crc32(ocr_image.tobytes()) ^ hash(dpi) & 0xFFFFFFFF
-            if (
-                not self.collect_debug_overlays
-                and self._scales_cache is not None
-                and self._scales_cache[0] == cache_key
-            ):
-                return self._scales_cache[1]
+            # The cached ratio depends on the OCR image, the DPI AND the
+            # binarized scales plane (bar widths live there): only cache when
+            # the backend can fingerprint the latter.
+            fp_fn = getattr(backend, "scales_fingerprint", None)
+            fp = fp_fn() if callable(fp_fn) else None
+            cache_key = None
+            if fp is not None:
+                cache_key = zlib.crc32(ocr_image.tobytes()) ^ (hash(dpi) & 0xFFFFFFFF) ^ fp
+                if (
+                    not self.collect_debug_overlays
+                    and self._scales_cache is not None
+                    and self._scales_cache[0] == cache_key
+                ):
+                    return self._scales_cache[1]
 
             with timeshare(shares, "ocr"):
                 ocr_results = self.ocr_engine.read(ocr_image, dpi)
@@ -312,7 +319,8 @@ class VisionState:
 
             scales, scales_start_y = _parse_scales(ocr_results)
             if not scales or scales_start_y is None:
-                self._scales_cache = (cache_key, None)
+                if cache_key is not None:
+                    self._scales_cache = (cache_key, None)
                 return None
 
             with timeshare(shares, "find_scales_preprocess"):
@@ -334,7 +342,8 @@ class VisionState:
                     )
                     for m, l in debug_scales
                 )
-            self._scales_cache = (cache_key, ratio)
+            if cache_key is not None:
+                self._scales_cache = (cache_key, ratio)
             return ratio
 
         # Scales branch is skipped entirely when a heightmap supplies

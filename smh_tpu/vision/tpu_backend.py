@@ -230,6 +230,15 @@ class TpuBackend:
         assert self._host is not None
         return self._host["ocr_img"]
 
+    def scales_fingerprint(self) -> Optional[int]:
+        """crc32 of the binarized scales plane: the ratio result depends on
+        this image too, so the driver's OCR-result cache keys on it."""
+        import zlib
+
+        if self._host is None or "scales_bits" not in self._host:
+            return None
+        return zlib.crc32(self._host["scales_bits"].tobytes())
+
     def find_scales_preprocess(self, scales_start_y: int) -> np.ndarray:
         """Returns the binarized BRQ as 0/255 u8 (bit-unpacked)."""
         assert self._host is not None and self.geom is not None

@@ -168,11 +168,14 @@ class WebServer:
 
     async def _ws_handler(self, websocket) -> None:
         log.info("WebSocket connection opened with %s", websocket.remote_address)
-        for data in self._event_data.snapshot():
-            await websocket.send(data)
-
+        # Register the client BEFORE replaying the snapshot so events
+        # broadcast during the replay awaits land in its queue instead of
+        # being lost (they may duplicate snapshot state; all state events
+        # are idempotent).
         queue: asyncio.Queue = asyncio.Queue(maxsize=256)
         self._clients.add(queue)
+        for data in self._event_data.snapshot():
+            await websocket.send(data)
 
         if self.on_client_connect is not None:
             # App-side hook: lets a lazily-fetched map be pushed to the first
