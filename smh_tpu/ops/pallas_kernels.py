@@ -27,6 +27,7 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .. import consts as C
 
@@ -113,3 +114,144 @@ def classify_luma_pallas(map_rgb: jnp.ndarray, interpret: bool = False):
 
 def use_pallas() -> bool:
     return os.environ.get("SMH_USE_PALLAS", "0") == "1"
+
+
+# ---------------------------------------------------------------------------
+# Fused mask kernel: classify -> L1-dilate -> bit-pack in ONE pass.
+#
+# The XLA version materializes the marker mask between the classify and
+# dilate/pack stages; this kernel keeps everything in VMEM. Row bands carry a
+# 1-row halo for the vertical dilate taps (the horizontal taps stay inside a
+# full-width band, so no x halo is needed). The halo is expressed with
+# overlapping *input* blocks: the input row-block index map steps by the
+# output band size while the input block is 2 rows taller, which Pallas
+# supports because input blocks may overlap (only outputs must tile).
+# ---------------------------------------------------------------------------
+
+BAND_H = 256
+
+
+def _fused_mask_kernel(r_ref, g_ref, b_ref, bits_ref):
+    # Rows [band-1, band+BAND_H+1): compute classify on the halo'd band, then
+    # dilate into the interior rows and pack to bits.
+    r8 = r_ref[...]
+    g8 = g_ref[...]
+    b8 = b_ref[...]
+
+    r = r8.astype(jnp.int32).astype(F32) / F32(255.0)
+    g = g8.astype(jnp.int32).astype(F32) / F32(255.0)
+    b = b8.astype(jnp.int32).astype(F32) / F32(255.0)
+
+    mx = jnp.maximum(r, jnp.maximum(g, b))
+    mn = jnp.minimum(r, jnp.minimum(g, b))
+    delta = mx - mn
+    safe_delta = jnp.where(delta == 0, F32(1.0), delta)
+
+    h_r = F32(60.0) * ((g - b) / safe_delta)
+    h_g = F32(60.0) * (((b - r) / safe_delta) + F32(2.0))
+    h_b = F32(60.0) * (((r - g) / safe_delta) + F32(4.0))
+    h = jnp.where(mx == mn, F32(0.0), jnp.where(mx == r, h_r, jnp.where(mx == g, h_g, h_b)))
+    h = jnp.where(h < F32(0.0), h + F32(360.0), h)
+
+    safe_mx = jnp.where(mx == 0, F32(1.0), mx)
+    s = jnp.where(mx > F32(0.0), (F32(100.0) * delta) / safe_mx, F32(0.0))
+    v = F32(100.0) * mx
+
+    hi = h.astype(jnp.int32)
+    si = s.astype(jnp.int32)
+    vi = v.astype(jnp.int32)
+
+    m = jnp.zeros(hi.shape, dtype=jnp.bool_)
+    for mh, ms, mv in (
+        C.ALPHA_MARKER_COLOR_HSV,
+        C.BRAVO_MARKER_COLOR_HSV,
+        C.CHARLIE_MARKER_COLOR_HSV,
+    ):
+        hue_ok = jnp.abs(hi - mh) <= C.FIND_MARKER_HSV_HUE_TOLERANCE
+        sat_ok = jnp.abs(si - ms) <= C.FIND_MARKER_HSV_SAT_TOLERANCE
+        arc_ok = (
+            jnp.abs(si - (ms - C.FIND_MARKER_PLAYER_DIR_ARC_SAT))
+            <= C.FIND_MARKER_HSV_SAT_TOLERANCE
+        )
+        vib_ok = jnp.abs(vi - mv) <= C.FIND_MARKER_HSV_VIB_TOLERANCE
+        m = m | (hue_ok & (sat_ok | arc_ok) & vib_ok)
+    m = m & (si >= C.FIND_MARKER_HSV_MIN_SAT)
+
+    # L1 r=1 dilate: interior rows OR'd with their halo neighbours and
+    # x-shifted selves (zero-padded at the image's left/right edges).
+    inner = m[1:-1, :]
+    up = m[:-2, :]
+    down = m[2:, :]
+    left = jnp.pad(inner, ((0, 0), (1, 0)))[:, :-1]
+    right = jnp.pad(inner, ((0, 0), (0, 1)))[:, 1:]
+    d = inner | up | down | left | right
+
+    # Bit-pack (MSB first, np.unpackbits order). Weights come from an iota
+    # (Pallas kernels cannot capture constant arrays).
+    bh, bw = d.shape
+    packed = d.reshape(bh, bw // 8, 8).astype(jnp.int32)
+    shifts = 7 - jax.lax.broadcasted_iota(jnp.int32, (bh, bw // 8, 8), 2)
+    bits_ref[...] = (packed << shifts).sum(axis=2).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_mask_bits_pallas(map_rgb: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """map_rgb u8 [H, W, 3] -> bit-packed dilated marker mask u8 [H, W8/8].
+
+    Pads to band/byte multiples; the padding rows/cols classify to False
+    (black is never marker-colored), so edge semantics match the XLA path.
+    """
+    h, w = map_rgb.shape[:2]
+    w8 = ((w + 7) // 8) * 8
+    hb = ((h + BAND_H - 1) // BAND_H) * BAND_H
+
+    # +1 row of zero halo on each side; zero cols on the right.
+    planes = []
+    for c in range(3):
+        p = jnp.pad(map_rgb[..., c], ((1, 1 + hb - h), (0, w8 - w)))
+        planes.append(p)
+
+    # Halo'd input windows overlap between bands, which BlockSpec tiling
+    # cannot express (index maps are in block units); the inputs therefore
+    # stay in HBM and each program DMAs its own [band-1, band+BAND_H+1) rows
+    # into VMEM scratch.
+    grid = (hb // BAND_H,)
+    bits = pl.pallas_call(
+        _fused_mask_kernel_hbm,
+        out_shape=jax.ShapeDtypeStruct((hb, w8 // 8), jnp.uint8),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((BAND_H, w8 // 8), lambda i: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((BAND_H + 2, w8), jnp.uint8),
+            pltpu.VMEM((BAND_H + 2, w8), jnp.uint8),
+            pltpu.VMEM((BAND_H + 2, w8), jnp.uint8),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(planes[0], planes[1], planes[2])
+    return bits[:h, : (w + 7) // 8]
+
+
+def _fused_mask_kernel_hbm(r_hbm, g_hbm, b_hbm, bits_ref, r_s, g_s, b_s, sems):
+    """HBM-resident planes; each program DMAs its halo'd band into VMEM
+    scratch (the pallas_guide double-buffer/async-copy pattern), then runs
+    the fused classify/dilate/pack."""
+    i = pl.program_id(0)
+    row0 = i * BAND_H  # halo'd band starts at padded row i*BAND_H
+
+    copies = []
+    for src, dst, k in ((r_hbm, r_s, 0), (g_hbm, g_s, 1), (b_hbm, b_s, 2)):
+        dma = pltpu.make_async_copy(
+            src.at[pl.ds(row0, BAND_H + 2), :], dst, sems.at[k]
+        )
+        dma.start()
+        copies.append(dma)
+    for dma in copies:
+        dma.wait()
+
+    _fused_mask_kernel(r_s, g_s, b_s, bits_ref)
