@@ -121,19 +121,31 @@ def use_pallas() -> bool:
 #
 # The XLA version materializes the marker mask between the classify and
 # dilate/pack stages; this kernel keeps everything in VMEM. Row bands carry a
-# 1-row halo for the vertical dilate taps (the horizontal taps stay inside a
-# full-width band, so no x halo is needed). The halo is expressed with
-# overlapping *input* blocks: the input row-block index map steps by the
-# output band size while the input block is 2 rows taller, which Pallas
-# supports because input blocks may overlap (only outputs must tile).
+# row halo for the vertical dilate taps (the horizontal taps stay inside a
+# full-width band, so no x halo is needed). BlockSpec tiling cannot express
+# overlapping input windows (index maps are in block units), so the planes
+# stay in HBM and each program DMAs its halo'd band into VMEM scratch.
+#
+# Mosaic (v5e) constraints encountered and worked around here — kept as
+# documentation for future kernels:
+#   * no u8<->f32 casts (hop through i32);
+#   * kernels cannot capture constant arrays (build weights from iota);
+#   * no reshape that splits the lane axis (bit-pack is an MXU matmul
+#     against an iota-built selector matrix instead);
+#   * pad+slice lane shifts produce unsupported offset layouts (use
+#     pltpu.roll — which itself needs 32-bit lanes and non-negative shifts);
+#   * DMA slices must be tile-aligned: 8 rows (hence HALO=4 per side) and
+#     128 lanes (hence width padding).
 # ---------------------------------------------------------------------------
 
 BAND_H = 256
+HALO = 4  # rows of halo per side; 1 is enough for the dilate, 4 keeps every
+          # DMA slice 8-row aligned (Mosaic tiling requirement)
 
 
 def _fused_mask_kernel(r_ref, g_ref, b_ref, bits_ref):
-    # Rows [band-1, band+BAND_H+1): compute classify on the halo'd band, then
-    # dilate into the interior rows and pack to bits.
+    # Rows [band-HALO, band+BAND_H+HALO): compute classify on the halo'd
+    # band, then dilate into the interior rows and pack to bits.
     r8 = r_ref[...]
     g8 = g_ref[...]
     b8 = b_ref[...]
@@ -178,20 +190,30 @@ def _fused_mask_kernel(r_ref, g_ref, b_ref, bits_ref):
     m = m & (si >= C.FIND_MARKER_HSV_MIN_SAT)
 
     # L1 r=1 dilate: interior rows OR'd with their halo neighbours and
-    # x-shifted selves (zero-padded at the image's left/right edges).
-    inner = m[1:-1, :]
-    up = m[:-2, :]
-    down = m[2:, :]
-    left = jnp.pad(inner, ((0, 0), (1, 0)))[:, :-1]
-    right = jnp.pad(inner, ((0, 0), (0, 1)))[:, 1:]
+    # x-shifted selves. Lane shifts use pltpu.roll (Mosaic rejects offset
+    # layouts from pad+slice along lanes) with the wrapped column masked off.
+    inner = m[HALO : HALO + BAND_H, :]
+    up = m[HALO - 1 : HALO - 1 + BAND_H, :]
+    down = m[HALO + 1 : HALO + 1 + BAND_H, :]
+    bw = inner.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, inner.shape, 1)
+    # Mosaic's rotate only handles 32-bit lanes, and shifts must be
+    # non-negative (bw-1 right-rotations == one left-rotation).
+    inner_i = inner.astype(jnp.int32)
+    left = (pltpu.roll(inner_i, 1, axis=1) > 0) & (col > 0)
+    right = (pltpu.roll(inner_i, bw - 1, axis=1) > 0) & (col < bw - 1)
     d = inner | up | down | left | right
 
-    # Bit-pack (MSB first, np.unpackbits order). Weights come from an iota
-    # (Pallas kernels cannot capture constant arrays).
+    # Bit-pack (MSB first, np.unpackbits order) as an MXU matmul: Mosaic
+    # cannot reshape along the lane axis, but a [w, w/8] selector matrix
+    # with weights 2^(7 - k%8) at rows k of column k//8 packs every byte in
+    # one dot (values <= 255 are exact in f32).
     bh, bw = d.shape
-    packed = d.reshape(bh, bw // 8, 8).astype(jnp.int32)
-    shifts = 7 - jax.lax.broadcasted_iota(jnp.int32, (bh, bw // 8, 8), 2)
-    bits_ref[...] = (packed << shifts).sum(axis=2).astype(jnp.uint8)
+    k = jax.lax.broadcasted_iota(jnp.int32, (bw, bw // 8), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (bw, bw // 8), 1)
+    sel = jnp.where(k // 8 == c, (1 << (7 - (k % 8))), 0).astype(F32)
+    bits_f = jnp.dot(d.astype(F32), sel, preferred_element_type=F32)
+    bits_ref[...] = bits_f.astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -202,13 +224,15 @@ def fused_mask_bits_pallas(map_rgb: jnp.ndarray, interpret: bool = False) -> jnp
     (black is never marker-colored), so edge semantics match the XLA path.
     """
     h, w = map_rgb.shape[:2]
-    w8 = ((w + 7) // 8) * 8
+    # Lane (width) padding to 128 keeps every DMA slice tile-aligned; the
+    # pad columns classify to False so edge semantics are unchanged.
+    w8 = ((w + 127) // 128) * 128
     hb = ((h + BAND_H - 1) // BAND_H) * BAND_H
 
-    # +1 row of zero halo on each side; zero cols on the right.
+    # HALO rows of zero padding on each side; zero cols on the right.
     planes = []
     for c in range(3):
-        p = jnp.pad(map_rgb[..., c], ((1, 1 + hb - h), (0, w8 - w)))
+        p = jnp.pad(map_rgb[..., c], ((HALO, HALO + hb - h), (0, w8 - w)))
         planes.append(p)
 
     # Halo'd input windows overlap between bands, which BlockSpec tiling
@@ -227,9 +251,9 @@ def fused_mask_bits_pallas(map_rgb: jnp.ndarray, interpret: bool = False) -> jnp
         ],
         out_specs=pl.BlockSpec((BAND_H, w8 // 8), lambda i: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((BAND_H + 2, w8), jnp.uint8),
-            pltpu.VMEM((BAND_H + 2, w8), jnp.uint8),
-            pltpu.VMEM((BAND_H + 2, w8), jnp.uint8),
+            pltpu.VMEM((BAND_H + 2 * HALO, w8), jnp.uint8),
+            pltpu.VMEM((BAND_H + 2 * HALO, w8), jnp.uint8),
+            pltpu.VMEM((BAND_H + 2 * HALO, w8), jnp.uint8),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
@@ -247,7 +271,7 @@ def _fused_mask_kernel_hbm(r_hbm, g_hbm, b_hbm, bits_ref, r_s, g_s, b_s, sems):
     copies = []
     for src, dst, k in ((r_hbm, r_s, 0), (g_hbm, g_s, 1), (b_hbm, b_s, 2)):
         dma = pltpu.make_async_copy(
-            src.at[pl.ds(row0, BAND_H + 2), :], dst, sems.at[k]
+            src.at[pl.ds(row0, BAND_H + 2 * HALO), :], dst, sems.at[k]
         )
         dma.start()
         copies.append(dma)
