@@ -100,3 +100,37 @@ def test_digit_discrimination(text, expected):
     results = eng.read(be.ocr_preprocess())
     scales, _ = _parse_scales(results)
     assert [m for m, _ in scales] == [expected], results
+
+
+@pytest.mark.skipif(not reference_samples_available(), reason="no reference samples")
+def test_corpus_scale_reading_no_false_positives():
+    """Across the whole corpus: every parsed scale is exactly the real
+    (300m, 900m) pair at its known position — noise NEVER parses into a
+    bogus scale (even on whiteout.png), and 2560x1440 samples always read."""
+    import json
+    import pathlib
+
+    from smh_tpu.squadex.capture import load_frame_bgra
+    from smh_tpu.vision.reference import ReferenceBackend
+
+    goldens = json.loads(
+        (pathlib.Path(__file__).parent / "goldens" / "detections.json").read_text()
+    )
+    eng = SmhOcrEngine()
+    read_count = 0
+    for name, g in sorted(goldens.items()):
+        if g.get("sleeping"):
+            continue
+        frame = load_frame_bgra(str(REFERENCE_SAMPLES / name))
+        be = ReferenceBackend()
+        be.load_frame(frame)
+        if be.crop_to_map(True) is None:
+            continue
+        scales, _ = _parse_scales(eng.read(be.ocr_preprocess()))
+        if scales:
+            assert [m for m, _ in scales] == [300, 900], (name, scales)
+            read_count += 1
+        if frame.shape[:2] == (1440, 2560) and name != "snowpoints.png":
+            # the standard-resolution screenshots must all read
+            assert scales, name
+    assert read_count >= 12
