@@ -65,13 +65,40 @@ def test_graft_entry_single_chip():
     assert lsd_mask.shape == ui.shape
 
 
-def test_graft_entry_dryrun():
-    import importlib.util
-    import pathlib
+def test_graft_entry_dryrun_from_dirty_jax_state():
+    """Round-1 regression: the driver imports __graft_entry__ and calls
+    dryrun_multichip in a process whose JAX backend is already initialized
+    (with the wrong platform / device count). The dryrun must self-provision
+    its own virtual CPU mesh in a subprocess and succeed regardless.
 
-    spec = importlib.util.spec_from_file_location(
-        "_graft_entry2", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    Simulated here by initializing a 1-device CPU JAX in the caller before
+    the call (a real driver had the TPU platform; tests must not touch it)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).parent.parent
+    env = dict(os.environ)
+    # Caller env: single CPU device, so an in-process 8-device mesh would be
+    # impossible — only the self-provisioned subprocess can succeed.
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        f"import sys; sys.path.insert(0, {str(repo)!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1  # dirty, unusable caller state\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
     )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "dryrun_multichip OK" in proc.stdout
