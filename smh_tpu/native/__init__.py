@@ -97,6 +97,21 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_float,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.smh_find_lines_view.restype = ctypes.c_int
+        lib.smh_find_lines_view.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,  # ch
+            ctypes.c_int,  # cw
+            ctypes.c_int,  # fh
+            ctypes.c_int,  # fw
+            ctypes.c_int,  # ox
+            ctypes.c_int,  # oy
+            ctypes.c_int,  # max_gap
+            ctypes.c_int,  # max_lines
+            ctypes.c_float,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
         return _lib
 
@@ -119,14 +134,27 @@ def find_longest_line(mask: np.ndarray, pt: Point, max_gap: float) -> tuple[Line
     return line, float(out[4])
 
 
-def find_lines(mask: np.ndarray, max_gap: int, max_lines: int = C.LSD_MAX_LINES) -> list[Line]:
+def find_lines(
+    mask: np.ndarray,
+    max_gap: int,
+    max_lines: int = C.LSD_MAX_LINES,
+    full_shape: Optional[tuple[int, int]] = None,
+    offset: tuple[int, int] = (0, 0),
+) -> list[Line]:
+    """Seed scan + march. `mask` may be a windowed crop of a larger plane:
+    pass full_shape=(fh, fw) and offset=(ox, oy) and the scan runs in
+    full-plane coordinates, bit-identical to scanning the full mask (the
+    crop must cover every white pixel; see hostpack v2)."""
     lib = load()
     assert lib is not None
     mask = np.ascontiguousarray(mask)
     h, w = mask.shape
+    fh, fw = full_shape if full_shape is not None else (h, w)
+    ox, oy = offset
     out = (ctypes.c_float * (max_lines * 4))()
-    n = lib.smh_find_lines(
-        mask.ctypes.data_as(ctypes.c_void_p), h, w, int(max_gap), int(max_lines),
+    n = lib.smh_find_lines_view(
+        mask.ctypes.data_as(ctypes.c_void_p), h, w, int(fh), int(fw),
+        int(ox), int(oy), int(max_gap), int(max_lines),
         ctypes.c_float(C.LSD_MIN_LENGTH_SQR), ctypes.c_float(C.LSD_DEDUP_DIST_SQR), out,
     )
     return [

@@ -29,21 +29,43 @@ struct LineResult {
     float x0, y0, x1, y1, len2;
 };
 
+// A (possibly windowed) view of the LSD mask: crop memory of (ch, cw) bytes
+// placed at (ox, oy) inside a logical full plane of (fh, fw). All float
+// coordinates below are FULL-plane coordinates — pixels outside the crop
+// read as 0 (black), which is exact because the crop covers the white-pixel
+// bounding box by construction (smh_tpu/ops/pipeline.py hostpack v2). With
+// ox = oy = 0 and crop == full this degenerates to the round-1 behaviour,
+// so windowed and full runs are bit-identical.
+struct MaskView {
+    const uint8_t* p;
+    int ch, cw;  // crop memory dims
+    int fh, fw;  // logical full-plane dims (bounds checks use these)
+    int ox, oy;  // crop origin in the full plane
+};
+
+inline uint8_t sample(const MaskView& v, uint32_t xi, uint32_t yi) {
+    const int cx = (int)xi - v.ox;
+    const int cy = (int)yi - v.oy;
+    if (cx < 0 || cy < 0 || cx >= v.cw || cy >= v.ch) return 0;
+    return v.p[(size_t)cy * v.cw + cx];
+}
+
 inline bool in_bounds_f(float x, float y, int w, int h) {
     return x >= 0.0f && y >= 0.0f && x < (float)w && y < (float)h;
 }
 
 // Exact port of the oracle's single-angle ray march (vision-cpu:388-432).
-inline void march_one(const uint8_t* mask, int h, int w, float x_start,
+inline void march_one(const MaskView& v, float x_start,
                       float y_start, float max_gap, float dx, float dy,
                       float* out_xe, float* out_ye) {
+    const int w = v.fw, h = v.fh;
     float x = x_start, y = y_start;
     float x_end = x_start, y_end = y_start;
     float gap0 = 0.0f, gap_sx = 0.0f, gap_sy = 0.0f;
     float x_off = 0.0f, y_off = 0.0f;
 
     while (in_bounds_f(x, y, w, h)) {
-        const uint8_t px = mask[(uint32_t)y * (uint32_t)w + (uint32_t)x];
+        const uint8_t px = sample(v, (uint32_t)x, (uint32_t)y);
         if (px == 255) {
             gap0 = 0.0f; gap_sx = 0.0f; gap_sy = 0.0f;
         } else if (gap0 >= max_gap) {
@@ -63,7 +85,7 @@ inline void march_one(const uint8_t* mask, int h, int w, float x_start,
     // Final check with Rust's saturating f32->u32 cast (negatives -> 0).
     const uint32_t xi = x < 0.0f ? 0u : (uint32_t)x;
     const uint32_t yi = y < 0.0f ? 0u : (uint32_t)y;
-    if (xi < (uint32_t)w && yi < (uint32_t)h && mask[yi * (uint32_t)w + xi] == 0) {
+    if (xi < (uint32_t)w && yi < (uint32_t)h && sample(v, xi, yi) == 0) {
         x_end = x - dx;
         y_end = y - dy;
     }
@@ -71,7 +93,7 @@ inline void march_one(const uint8_t* mask, int h, int w, float x_start,
     *out_ye = y_end;
 }
 
-inline void longest_line(const uint8_t* mask, int h, int w, float px, float py,
+inline void longest_line(const MaskView& v, float px, float py,
                          float max_gap, LineResult* out) {
     float best_len = -1.0f;
     int best_idx = -1;
@@ -88,7 +110,7 @@ inline void longest_line(const uint8_t* mask, int h, int w, float px, float py,
             const float theta = ((float)a / 10.0f) * (PI_F / 180.0f);
             const float dx = cosf(theta), dy = sinf(theta);
             float xe, ye;
-            march_one(mask, h, w, px, py, max_gap, dx, dy, &xe, &ye);
+            march_one(v, px, py, max_gap, dx, dy, &xe, &ye);
             const float l = (px - xe) * (px - xe) + (py - ye) * (py - ye);
             // ties -> higher angle index ("last max wins", like the
             // reference's right-biased fold)
@@ -109,7 +131,7 @@ inline void longest_line(const uint8_t* mask, int h, int w, float px, float py,
         const float theta = ((float)a / 10.0f) * (PI_F / 180.0f);
         const float dx = cosf(theta), dy = sinf(theta);
         float xe, ye;
-        march_one(mask, h, w, px, py, max_gap, dx, dy, &xe, &ye);
+        march_one(v, px, py, max_gap, dx, dy, &xe, &ye);
         const float l = (px - xe) * (px - xe) + (py - ye) * (py - ye);
         if (l > best_len || (l == best_len && a > best_idx)) {
             best_len = l; best_idx = a; best_xe = xe; best_ye = ye;
@@ -124,14 +146,16 @@ inline void longest_line(const uint8_t* mask, int h, int w, float px, float py,
 
 // Centre snap (vision-common/src/lsd.rs:5-44). Out-of-bounds reads count as
 // non-white (the reference uses unchecked reads and never hits the edge).
-inline void get_centre(const uint8_t* mask, int h, int w, float inx, float iny,
+inline void get_centre(const MaskView& v, float inx, float iny,
                        float* outx, float* outy) {
     const float MAX_DIST = LSD_CENTRE_MAX_DIST;
+    const int w = v.fw, h = v.fh;
     const int yi = (int)iny;
     const int xi = (int)inx;
 
     auto white = [&](int x, int y) -> bool {
-        return x >= 0 && x < w && y >= 0 && y < h && mask[(size_t)y * w + x] == 255;
+        return x >= 0 && x < w && y >= 0 && y < h &&
+               sample(v, (uint32_t)x, (uint32_t)y) == 255;
     };
 
     float left = inx;
@@ -163,23 +187,28 @@ extern "C" {
 // Longest line from one seed. out = {x0, y0, x1, y1, len2}.
 void smh_find_longest_line(const uint8_t* mask, int h, int w, float px,
                            float py, float max_gap, float* out) {
+    const MaskView v{mask, h, w, h, w, 0, 0};
     LineResult r;
-    longest_line(mask, h, w, px, py, max_gap, &r);
+    longest_line(v, px, py, max_gap, &r);
     out[0] = r.x0; out[1] = r.y0; out[2] = r.x1; out[3] = r.y1; out[4] = r.len2;
 }
 
-// Full seed scan with suppression (vision-common/src/lsd.rs:60-107).
-// out_lines holds max_lines*4 floats (x0,y0,x1,y1); returns #lines.
-int smh_find_lines(const uint8_t* mask, int h, int w, int max_gap,
-                   int max_lines, float min_len_sqr, float dedup_dist_sqr,
-                   float* out_lines) {
+// Full seed scan with suppression (vision-common/src/lsd.rs:60-107),
+// over a windowed view: the crop holds every white pixel, so scanning it in
+// row-major order visits exactly the seeds a full-plane scan would, in the
+// same order; all geometry runs in full-plane coordinates.
+static int find_lines_view(const MaskView& v, int max_gap, int max_lines,
+                           float min_len_sqr, float dedup_dist_sqr,
+                           float* out_lines) {
     if (max_lines <= 0) return 0;
     const float mg = (float)max_gap;
     int n_lines = 0;
 
-    for (int y = 0; y < h; y++) {
-        for (int x = 0; x < w; x++) {
-            if (mask[(size_t)y * w + x] != 255) continue;
+    for (int cy = 0; cy < v.ch; cy++) {
+        for (int cx = 0; cx < v.cw; cx++) {
+            if (v.p[(size_t)cy * v.cw + cx] != 255) continue;
+            const int x = cx + v.ox;
+            const int y = cy + v.oy;
 
             // suppression against accepted lines (infinite-line distance)
             bool suppressed = false;
@@ -196,15 +225,15 @@ int smh_find_lines(const uint8_t* mask, int h, int w, int max_gap,
             }
             if (suppressed) continue;
 
-            float cx, cy;
-            get_centre(mask, h, w, (float)x, (float)y, &cx, &cy);
+            float sx, sy;
+            get_centre(v, (float)x, (float)y, &sx, &sy);
 
             LineResult r;
-            longest_line(mask, h, w, cx, cy, mg, &r);
+            longest_line(v, sx, sy, mg, &r);
 
             if (r.len2 > min_len_sqr) {
                 float ex, ey;
-                get_centre(mask, h, w, r.x1, r.y1, &ex, &ey);
+                get_centre(v, r.x1, r.y1, &ex, &ey);
                 out_lines[n_lines * 4 + 0] = r.x0;
                 out_lines[n_lines * 4 + 1] = r.y0;
                 out_lines[n_lines * 4 + 2] = ex;
@@ -217,6 +246,25 @@ int smh_find_lines(const uint8_t* mask, int h, int w, int max_gap,
     return n_lines;
 }
 
-int smh_native_version() { return 1; }
+int smh_find_lines(const uint8_t* mask, int h, int w, int max_gap,
+                   int max_lines, float min_len_sqr, float dedup_dist_sqr,
+                   float* out_lines) {
+    const MaskView v{mask, h, w, h, w, 0, 0};
+    return find_lines_view(v, max_gap, max_lines, min_len_sqr, dedup_dist_sqr,
+                           out_lines);
+}
+
+// Windowed scan: crop (ch, cw) at (ox, oy) of a (fh, fw) plane; results in
+// full-plane coordinates, bit-identical to scanning the full plane.
+int smh_find_lines_view(const uint8_t* crop, int ch, int cw, int fh, int fw,
+                        int ox, int oy, int max_gap, int max_lines,
+                        float min_len_sqr, float dedup_dist_sqr,
+                        float* out_lines) {
+    const MaskView v{crop, ch, cw, fh, fw, ox, oy};
+    return find_lines_view(v, max_gap, max_lines, min_len_sqr, dedup_dist_sqr,
+                           out_lines);
+}
+
+int smh_native_version() { return 2; }
 
 }  // extern "C"

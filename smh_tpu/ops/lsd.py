@@ -203,14 +203,20 @@ def _max_k(h: int, w: int) -> int:
 
 
 def find_longest_lines_batch(
-    mask_dev: jax.Array, pts: list[Point], max_gap: float
+    mask_dev: jax.Array, pts: list[Point], max_gap: float, max_len: float | None = None
 ) -> list[tuple[Line, float]]:
     """March a batch of seeds; returns (Line, length_sqr) per seed, in order.
 
     Exact oracle semantics per seed (see module docstring); one device
     dispatch for the common case, extra fixed-shape span dispatches only
     while some ray is still alive (i.e. tracking a real line).
-    """
+
+    max_len: upper bound on any line length from these seeds (e.g. the
+    diagonal of the white-pixel bounding box). When given, the exact number
+    of spans is known up front — every ray provably dies within
+    max_len + max_gap + 2 steps — so the spans are dispatched back-to-back
+    with NO host sync in between (the per-span `bool(all_done)` readback
+    costs a ~25 ms D2H roundtrip on this relay)."""
     if not pts:
         return []
     h, w = mask_dev.shape
@@ -234,11 +240,21 @@ def find_longest_lines_batch(
         mask_dev, pts_dev, done, prev_black, end_x, end_y, 0, h=h, w=w, max_gap=mg, kspan=SPAN0
     )
     k = SPAN0
-    while k < max_k and not bool(all_done):
-        done, prev_black, end_x, end_y, all_done = _march_span(
-            mask_dev, pts_dev, done, prev_black, end_x, end_y, k, h=h, w=w, max_gap=mg, kspan=SPAN
-        )
-        k += SPAN
+    if max_len is not None:
+        # Known bound: dispatch the exact span count with no mid-loop sync
+        # (the dispatches chain on device; one fetch at the end).
+        needed = min(max_k, int(max_len) + mg + 2)
+        while k < needed:
+            done, prev_black, end_x, end_y, all_done = _march_span(
+                mask_dev, pts_dev, done, prev_black, end_x, end_y, k, h=h, w=w, max_gap=mg, kspan=SPAN
+            )
+            k += SPAN
+    else:
+        while k < max_k and not bool(all_done):
+            done, prev_black, end_x, end_y, all_done = _march_span(
+                mask_dev, pts_dev, done, prev_black, end_x, end_y, k, h=h, w=w, max_gap=mg, kspan=SPAN
+            )
+            k += SPAN
 
     bx, by, bl = _finalize(pts_dev, end_x, end_y)
     bx = np.asarray(bx)
@@ -252,9 +268,11 @@ def find_longest_lines_batch(
     return out
 
 
-def find_longest_line(mask_dev: jax.Array, pt: Point, max_gap: float) -> tuple[Line, float]:
+def find_longest_line(
+    mask_dev: jax.Array, pt: Point, max_gap: float, max_len: float | None = None
+) -> tuple[Line, float]:
     """Single-seed convenience wrapper (backend-contract parity)."""
-    return find_longest_lines_batch(mask_dev, [pt], max_gap)[0]
+    return find_longest_lines_batch(mask_dev, [pt], max_gap, max_len=max_len)[0]
 
 
 # ---------------------------------------------------------------------------

@@ -16,11 +16,33 @@ Replaces the reference's per-stage CUDA kernels + 4-stream juggling
 Everything is shape-specialized per frame resolution ("shape buckets"): the
 reference reallocates per-resolution buffers on resize (vision-gpu:118-124);
 here a resize simply compiles a new bucket, cached by (h, w, flags).
+
+Hostpack v2 — the critical-path D2H payload. On this host link a D2H
+transfer costs ~25 ms of latency plus ~20 MB/s of bandwidth, so the per-frame
+fetch carries only what the markers path needs:
+
+  * the LSD mask travels as a *windowed crop*: the device computes the
+    dilated marker mask's bounding box (masked cumulative-AND reductions —
+    no argmax, which lowers to scalar code on this TPU) and dynamic-slices a
+    static-size window around it. Marker lines cover a small fraction of the
+    map in live play, so this cuts the dominant section 4-16x. The window
+    carries LSD_CROP_MARGIN >= max_gap + centre-snap px of black context, so
+    running the seed scan + ray march on the crop is *exactly* equivalent to
+    running it on the full mask (rays die on max_gap+1 background samples
+    before they can reach the window edge). If the bbox outgrows the window,
+    the host detects it from the bbox in the pack and falls back to fetching
+    the full bit-mask (kept device-resident), then re-buckets.
+  * the OCR image and scales binarize move OFF the critical path entirely:
+    the pack carries only their checksums; the images live in a separate
+    device-resident "scalespack" the scales branch fetches only when the
+    checksums changed (the reference D2H-pins and transfers the OCR image
+    every frame, vision-gpu/src/gpuimage.rs:117-167).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +51,25 @@ from .. import consts as C
 from . import hsv
 
 F32 = jnp.float32
+I32 = jnp.int32
+
+# Black context around the LSD bbox inside the crop window. Any value
+# >= LSD_MAX_GAP + 2 (ray death) and >= LSD_CENTRE_MAX_DIST (seed snapping)
+# makes crop-local detection bit-identical to full-mask detection.
+LSD_CROP_MARGIN = C.LSD_MAX_GAP + C.LSD_CENTRE_MAX_DIST + 4  # 24
+
+
+def pallas_mode() -> str:
+    """"off" | "tpu" | "interpret": how the classify stage should run.
+
+    SMH_USE_PALLAS=1 routes the marker-classify + luma through the Pallas
+    kernel (ops/pallas_kernels.py) instead of the XLA elementwise graph —
+    on TPU as a compiled Mosaic kernel, elsewhere in interpret mode so the
+    flag is testable on CPU. Read per dispatch and passed down as a static
+    arg (env flips retrace instead of going stale)."""
+    if os.environ.get("SMH_USE_PALLAS", "0") != "1":
+        return "off"
+    return "tpu" if jax.default_backend() == "tpu" else "interpret"
 
 
 def _bgra_to_rgb(bgra: jnp.ndarray) -> jnp.ndarray:
@@ -77,6 +118,46 @@ def unpack_bits_host(packed: "np.ndarray", w: int) -> "np.ndarray":
     import numpy as np
 
     return np.unpackbits(packed, axis=1)[:, :w]
+
+
+def _first_true_count(v: jnp.ndarray) -> jnp.ndarray:
+    """Index of the first True in a 1D bool vector (len(v) if none), as the
+    add-reduce of a log-shift cumulative AND of ~v. argmax/min-over-iota
+    lower to scalar code on this TPU; this stays vectorized."""
+    out = ~v
+    k = v.shape[0]
+    s = 1
+    while s < k:
+        out = out & jnp.pad(out, (s, 0), constant_values=True)[:k]
+        s *= 2
+    return jnp.sum(out, dtype=I32)
+
+
+def _mask_bbox(m: jnp.ndarray):
+    """Bounding box (y0, y1, x0, x1) of True pixels, end-exclusive.
+    Empty mask -> y0 == h, y1 == 0 (host detects y0 >= y1)."""
+    rowany = m.any(axis=1)
+    colany = m.any(axis=0)
+    h = m.shape[0]
+    w = m.shape[1]
+    y0 = _first_true_count(rowany)
+    y1 = jnp.int32(h) - _first_true_count(rowany[::-1])
+    x0 = _first_true_count(colany)
+    x1 = jnp.int32(w) - _first_true_count(colany[::-1])
+    return y0, y1, x0, x1
+
+
+def _weighted_check(plane: jnp.ndarray) -> jnp.ndarray:
+    """[2] u32 content checksum (sum + position-weighted sum) of a 2D u8/u32
+    plane. Cheap device-side change detection: both the ui-push skip and the
+    scales-branch skip key on these (the reference uses a host crc32 for the
+    same purpose, src/ui/map.rs:222-233)."""
+    p = plane.astype(jnp.uint32)
+    h, w = p.shape
+    ww = (jax.lax.broadcasted_iota(jnp.uint32, (h, w), 0) + 1) * (
+        jax.lax.broadcasted_iota(jnp.uint32, (h, w), 1) + 7
+    )
+    return jnp.stack([p.sum(dtype=jnp.uint32), (p * ww).sum(dtype=jnp.uint32)])
 
 
 def _edgy_quiet(map_bgra: jnp.ndarray) -> jnp.ndarray:
@@ -154,8 +235,8 @@ def red_gate(frame_dev: jax.Array) -> float:
     return float(_red_gate_roi(btn))
 
 
-@functools.partial(jax.jit, static_argnames=("grayscale", "with_isolated"))
-def _analyze_map(map_bgra: jnp.ndarray, grayscale: bool, with_isolated: bool):
+@functools.partial(jax.jit, static_argnames=("grayscale", "with_isolated", "pallas"))
+def _analyze_map(map_bgra: jnp.ndarray, grayscale: bool, with_isolated: bool, pallas: str = "off"):
     """The fused pass over the map ROI only. Uploading just the ROIs instead
     of the whole frame cuts H2D ~2.3x (the map is the only region the
     pipeline reads besides the close-button; the BRQ is the map's own
@@ -164,12 +245,19 @@ def _analyze_map(map_bgra: jnp.ndarray, grayscale: bool, with_isolated: bool):
     brq_h, brq_w = map_h // 2, map_w // 2
     map_rgb = _bgra_to_rgb(map_bgra)
 
-    marker = hsv.is_any_map_marker_color(map_rgb)
+    luma = None
+    if pallas != "off":
+        from . import pallas_kernels as pk
+
+        marker_u8, luma = pk.classify_luma_pallas(map_rgb, interpret=(pallas == "interpret"))
+        marker = marker_u8 != 0
+    else:
+        marker = hsv.is_any_map_marker_color(map_rgb)
 
     # ui_map: what the user sees (crop_to_map, cuda.cu:354-406). Grayscale
     # travels as a single luma plane (the host expands to RGBA): 4x less D2H.
     if grayscale:
-        ui = hsv.luma8(map_rgb)
+        ui = luma if luma is not None else hsv.luma8(map_rgb)
     else:
         ui = map_rgb
 
@@ -188,22 +276,18 @@ def _analyze_map(map_bgra: jnp.ndarray, grayscale: bool, with_isolated: bool):
     scales_bool = hsv.luma8(brq_rgb) != 0
 
     # Cheap device-side checksum of the ui plane: lets the host skip the
-    # (expensive) D2H + web push when the visible map did not change — the
-    # reference does the same with a host-side crc32 (src/ui/map.rs:222-233).
-    ui_u32 = ui.astype(jnp.uint32)
-    row_w = (jax.lax.broadcasted_iota(jnp.uint32, (map_h, map_w), 0) + 1) * (
-        jax.lax.broadcasted_iota(jnp.uint32, (map_h, map_w), 1) + 7
-    )
-    if ui_u32.ndim == 3:
-        ui_flat = ui_u32.sum(axis=2)
+    # (expensive) D2H + web push when the visible map did not change.
+    if ui.ndim == 3:
+        ui_flat = ui.astype(jnp.uint32).sum(axis=2)
     else:
-        ui_flat = ui_u32
-    ui_check = jnp.stack([ui_flat.sum(dtype=jnp.uint32), (ui_flat * row_w).sum(dtype=jnp.uint32)])
+        ui_flat = ui
+    ui_check = _weighted_check(ui_flat)
 
     out = {
         "ui": ui,  # [h,w] luma when grayscale else [h,w,3] rgb
         "ui_check": ui_check,  # u32 [2]
-        "lsd_mask": lsd_mask,  # full mask, stays device-side for the march
+        "lsd_bool": lsd_bool,  # full bool mask (windowed crop is sliced from it)
+        "lsd_mask": lsd_mask,  # u8 full mask, stays device-side for the march
         "lsd_bits": pack_bits(lsd_bool),
         "scales_bits": pack_bits(scales_bool),
         "quiet_bits": pack_bits(_edgy_quiet(map_bgra)),
@@ -219,31 +303,42 @@ def _analyze_map(map_bgra: jnp.ndarray, grayscale: bool, with_isolated: bool):
 # The production dispatch: fused pass + red gate with every detection-path
 # output packed into ONE u8 buffer. On this host link a D2H transfer costs
 # ~25 ms of *latency* regardless of size, so the pipeline performs exactly
-# one fetch per frame (the display ui plane stays separate and lazy).
+# one fetch per frame in the common case (the display ui plane and the
+# scalespack stay separate and lazy).
 # ---------------------------------------------------------------------------
 
 
-def hostpack_layout(map_h: int, map_w: int, with_ocr: bool = True, with_quiet: bool = True) -> dict:
+def hostpack_layout(
+    map_h: int,
+    map_w: int,
+    with_ocr: bool = True,
+    with_quiet: bool = True,
+    crop_h: int | None = None,
+    crop_w: int | None = None,
+) -> dict:
     """Byte offsets of each section inside the packed buffer.
 
-    with_ocr=False drops the OCR image and scales binarize (the scales
-    branch is disabled when a heightmap supplies distances or no OCR engine
-    exists — the biggest payload for nothing). with_quiet=False drops the
-    minimap quiet mask (the driver can run minimap detection every Nth
+    v2 layout. `lsd_meta` = 6 x i32 (y0, y1, x0, x1, cy0, cx0): the exact
+    dilated-mask bbox (end-exclusive; empty => y0 >= y1) plus the crop window
+    origin. `lsd_crop` is the bit-packed (crop_h, crop_w) window of the mask.
+    with_ocr adds only the 4xu32 scales checksum — the OCR image and scales
+    binarize live in the separate lazily-fetched scalespack. with_quiet adds
+    the minimap quiet mask (the driver can run minimap detection every Nth
     frame: its bounds only move on zoom changes)."""
-    brq_h, brq_w = map_h // 2, map_w // 2
+    crop_h = map_h if crop_h is None else crop_h
+    crop_w = map_w if crop_w is None else crop_w
     mask_bytes = map_h * ((map_w + 7) // 8)
-    scales_bytes = brq_h * ((brq_w + 7) // 8)
-    ocr_bytes = brq_h * brq_w
+    crop_bytes = crop_h * ((crop_w + 7) // 8)
     sections = [
         ("red_ratio", 4),
         ("ui_check", 8),
-        ("lsd_bits", mask_bytes),
+        ("lsd_meta", 24),
     ]
+    if with_ocr:
+        sections += [("scales_check", 16)]
     if with_quiet:
         sections += [("quiet_bits", mask_bytes)]
-    if with_ocr:
-        sections += [("scales_bits", scales_bytes), ("ocr_img", ocr_bytes)]
+    sections += [("lsd_crop", crop_bytes)]
     layout = {}
     off = 0
     for name, size in sections:
@@ -253,23 +348,60 @@ def hostpack_layout(map_h: int, map_w: int, with_ocr: bool = True, with_quiet: b
     return layout
 
 
-@functools.partial(jax.jit, static_argnames=("grayscale", "with_ocr", "with_quiet"))
-def _analyze_packed(
-    map_bgra: jnp.ndarray,
-    btn_bgra: jnp.ndarray,
-    grayscale: bool,
-    with_ocr: bool = True,
-    with_quiet: bool = True,
-):
-    """Returns {"hostpack": u8 [N], "ui": ..., "lsd_mask": ...}."""
-    out = _analyze_map(map_bgra, grayscale=grayscale, with_isolated=False)
-    red = _red_gate_roi(btn_bgra)
-    return _pack_outputs(out, red, with_ocr, with_quiet)
+def scalespack_layout(map_h: int, map_w: int) -> dict:
+    """Sections of the lazily-fetched scales/OCR device buffer."""
+    brq_h, brq_w = map_h // 2, map_w // 2
+    scales_bytes = brq_h * ((brq_w + 7) // 8)
+    ocr_bytes = brq_h * brq_w
+    return {
+        "scales_bits": (0, scales_bytes),
+        "ocr_img": (scales_bytes, ocr_bytes),
+        "__total__": scales_bytes + ocr_bytes,
+    }
+
+
+def _pack_outputs(
+    out: dict, red: jnp.ndarray, with_ocr: bool, with_quiet: bool, crop_h: int, crop_w: int
+) -> dict:
+    map_h, map_w = out["lsd_bool"].shape
+    y0, y1, x0, x1 = _mask_bbox(out["lsd_bool"])
+    margin = jnp.int32(LSD_CROP_MARGIN)
+    cy0 = jnp.clip(y0 - margin, 0, map_h - crop_h)
+    cx0 = jnp.clip(x0 - margin, 0, map_w - crop_w)
+    crop = jax.lax.dynamic_slice(out["lsd_bool"], (cy0, cx0), (crop_h, crop_w))
+
+    red_u8 = jax.lax.bitcast_convert_type(red[None], jnp.uint8).reshape(-1)
+    check_u8 = jax.lax.bitcast_convert_type(out["ui_check"], jnp.uint8).reshape(-1)
+    meta = jnp.stack([y0, y1, x0, x1, cy0, cx0]).astype(jnp.int32)
+    meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1)
+    parts = [red_u8, check_u8, meta_u8]
+    if with_ocr:
+        scheck = jnp.concatenate([_weighted_check(out["scales_bits"]), _weighted_check(out["ocr_img"])])
+        parts += [jax.lax.bitcast_convert_type(scheck, jnp.uint8).reshape(-1)]
+    if with_quiet:
+        parts += [out["quiet_bits"].reshape(-1)]
+    parts += [pack_bits(crop).reshape(-1)]
+    pack = jnp.concatenate(parts)
+
+    res = {
+        "hostpack": pack,
+        "ui": out["ui"],
+        "lsd_mask": out["lsd_mask"],
+        "lsd_bits": out["lsd_bits"],  # full mask: window-miss fallback fetch
+    }
+    if with_ocr:
+        res["scalespack"] = jnp.concatenate(
+            [out["scales_bits"].reshape(-1), out["ocr_img"].reshape(-1)]
+        )
+    return res
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("map_h", "map_w", "btn_h", "btn_w", "grayscale", "with_ocr", "with_quiet"),
+    static_argnames=(
+        "map_h", "map_w", "btn_h", "btn_w",
+        "grayscale", "with_ocr", "with_quiet", "crop_h", "crop_w", "pallas",
+    ),
 )
 def _analyze_packed_flat(
     rois: jnp.ndarray,
@@ -280,36 +412,50 @@ def _analyze_packed_flat(
     grayscale: bool,
     with_ocr: bool = True,
     with_quiet: bool = True,
+    crop_h: int | None = None,
+    crop_w: int | None = None,
+    pallas: str = "off",
 ):
-    """Same as _analyze_packed but takes BOTH ROIs in one flat u8 upload
-    (H2D is latency-bound like D2H: one transfer beats two)."""
+    """The production dispatch: takes BOTH ROIs in one flat u8 upload (H2D is
+    latency-bound like D2H: one transfer beats two); returns the hostpack
+    plus the device-resident lazy outputs."""
+    crop_h = map_h if crop_h is None else crop_h
+    crop_w = map_w if crop_w is None else crop_w
     map_bytes = map_h * map_w * 4
     map_bgra = rois[:map_bytes].reshape(map_h, map_w, 4)
     btn_bgra = rois[map_bytes : map_bytes + btn_h * btn_w * 4].reshape(btn_h, btn_w, 4)
-    out = _analyze_map(map_bgra, grayscale=grayscale, with_isolated=False)
+    out = _analyze_map(map_bgra, grayscale=grayscale, with_isolated=False, pallas=pallas)
     red = _red_gate_roi(btn_bgra)
-    return _pack_outputs(out, red, with_ocr, with_quiet)
-
-
-def _pack_outputs(out: dict, red: jnp.ndarray, with_ocr: bool, with_quiet: bool = True) -> dict:
-    red_u8 = jax.lax.bitcast_convert_type(red[None], jnp.uint8).reshape(-1)
-    check_u8 = jax.lax.bitcast_convert_type(out["ui_check"], jnp.uint8).reshape(-1)
-    parts = [
-        red_u8,
-        check_u8,
-        out["lsd_bits"].reshape(-1),
-    ]
-    if with_quiet:
-        parts += [out["quiet_bits"].reshape(-1)]
-    if with_ocr:
-        parts += [out["scales_bits"].reshape(-1), out["ocr_img"].reshape(-1)]
-    pack = jnp.concatenate(parts)
-    return {"hostpack": pack, "ui": out["ui"], "lsd_mask": out["lsd_mask"]}
+    return _pack_outputs(out, red, with_ocr, with_quiet, crop_h, crop_w)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("map_h", "map_w", "btn_h", "btn_w", "grayscale", "with_ocr"),
+    static_argnames=("grayscale", "with_ocr", "with_quiet", "crop_h", "crop_w"),
+)
+def _analyze_packed(
+    map_bgra: jnp.ndarray,
+    btn_bgra: jnp.ndarray,
+    grayscale: bool,
+    with_ocr: bool = True,
+    with_quiet: bool = True,
+    crop_h: int | None = None,
+    crop_w: int | None = None,
+):
+    """Two-ROI variant (kept for tests / non-flat callers)."""
+    map_h, map_w = map_bgra.shape[:2]
+    crop_h = map_h if crop_h is None else crop_h
+    crop_w = map_w if crop_w is None else crop_w
+    out = _analyze_map(map_bgra, grayscale=grayscale, with_isolated=False)
+    red = _red_gate_roi(btn_bgra)
+    return _pack_outputs(out, red, with_ocr, with_quiet, crop_h, crop_w)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "map_h", "map_w", "btn_h", "btn_w", "grayscale", "with_ocr", "crop_h", "crop_w",
+    ),
 )
 def _analyze_batch_packed(
     rois: jnp.ndarray,  # u8 [B, roi_bytes]
@@ -319,12 +465,16 @@ def _analyze_batch_packed(
     btn_w: int,
     grayscale: bool,
     with_ocr: bool = True,
+    crop_h: int | None = None,
+    crop_w: int | None = None,
 ):
     """Batched fused pass: B frames in, ONE [B, pack_bytes] hostpack out.
 
     On a latency-bound host link this is the throughput mode: the per-frame
     D2H roundtrip cost divides by B (SURVEY/BASELINE config "streaming
-    capture loop with batched frames")."""
+    capture loop with batched frames"). The windowed LSD crop applies per
+    frame (vmapped dynamic_slice, per-frame origins); scalespacks come back
+    as one [B, bytes] array fetched only when some frame's checksum missed."""
 
     def one(roi):
         out = _analyze_packed_flat(
@@ -335,11 +485,18 @@ def _analyze_batch_packed(
             btn_w=btn_w,
             grayscale=grayscale,
             with_ocr=with_ocr,
+            crop_h=crop_h,
+            crop_w=crop_w,
         )
-        return out["hostpack"], out["lsd_mask"]
+        if with_ocr:
+            return out["hostpack"], out["lsd_mask"], out["lsd_bits"], out["scalespack"]
+        return out["hostpack"], out["lsd_mask"], out["lsd_bits"]
 
-    packs, masks = jax.vmap(one)(rois)
-    return {"hostpack": packs, "lsd_mask": masks}
+    outs = jax.vmap(one)(rois)
+    res = {"hostpack": outs[0], "lsd_mask": outs[1], "lsd_bits": outs[2]}
+    if with_ocr:
+        res["scalespack"] = outs[3]
+    return res
 
 
 def analyze_map(

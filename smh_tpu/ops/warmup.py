@@ -6,6 +6,10 @@ equivalent is the persistent compilation cache (JAX_COMPILATION_CACHE_DIR)
 plus this warmup: compile every bucket a deployment will use, up front,
 instead of stuttering on the first frame of each resolution (first compile
 through a remote compile service can take minutes).
+
+Buckets per resolution: the fused pass per LSD window rung (the backend's
+adaptive ladder re-jits when the window grows/shrinks), the quiet-mask-off
+variant (minimap cadence frames), and the ray-march span shapes.
 """
 
 from __future__ import annotations
@@ -33,4 +37,17 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
         out = be.crop_to_map(grayscale)
         if out is not None:
             be.find_marker_lines(C.LSD_MAX_GAP)
+        # Window-rung ladder buckets (the backend escalates/shrinks at
+        # runtime; each rung is its own compiled shape).
+        if be._ladder is not None:
+            for rung in range(len(be._ladder)):
+                be._rung = rung
+                be.dispatch(grayscale)
+                be.crop_to_map(grayscale)
+            be._rung = 1
+        # Minimap-cadence variant (quiet mask dropped from the pack).
+        be.quiet_enabled = False
+        be.dispatch(grayscale)
+        be.crop_to_map(grayscale)
+        be.quiet_enabled = True
         log.info("warmup %dx%d: %.1fs", w, h, time.time() - t0)

@@ -6,18 +6,26 @@ B. This is the BASELINE "streaming capture loop / batched frames" config and
 the offline-analysis API (video files, multiple game clients). Detection
 semantics are identical to the per-frame driver: the host stages (LSD scan,
 minimap walk, scale bars) run per frame on the fetched masks.
-"""
+
+v2: the batch hostpack carries the windowed LSD crops (per-frame device
+bboxes; frames whose bbox outgrew the window fall back to one batched fetch
+of their full bit-masks), the scalespack (OCR image + scales binarize) is
+fetched once per batch and only when some frame's device checksum missed the
+ratio cache, and the per-frame host stages run on a thread pool (the OCR
+engine call itself is serialized — the engine singleton is not re-entrant)."""
 
 from __future__ import annotations
 
 import dataclasses
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import jax
 import numpy as np
 
 from .. import consts as C
-from ..geometry import Line, Rect
+from ..geometry import Line, Point, Rect
 from ..ops import pipeline as ops_pipeline
 from . import find_minimap as fm
 from . import lsd as vlsd
@@ -36,13 +44,36 @@ class BatchResult:
 class BatchPipeline:
     """Fixed-resolution batched analyzer (one jit bucket per (res, B))."""
 
-    def __init__(self, frame_w: int, frame_h: int, batch: int = 8, ocr_engine=None) -> None:
+    def __init__(
+        self,
+        frame_w: int,
+        frame_h: int,
+        batch: int = 8,
+        ocr_engine=None,
+        lsd_window: Optional[float] = 0.5,
+        host_workers: int = 4,
+    ) -> None:
+        """lsd_window: LSD crop window as a fraction of the map (None = full
+        mask in the pack; the per-frame driver's adaptive ladder does not
+        apply here — batch jobs are offline and retry-free, so a fixed window
+        + full-mask fallback keeps one jit bucket)."""
         self.geom = C.map_geometry(frame_w, frame_h)
         self.batch = batch
         self.ocr_engine = ocr_engine
+        g = self.geom
+        mask_bytes = g.map_h * ((g.map_w + 7) // 8)
+        if lsd_window is None or mask_bytes <= 16 * 1024:
+            self.crop_h: Optional[int] = None
+            self.crop_w: Optional[int] = None
+        else:
+            self.crop_h = max(1, int(g.map_h * lsd_window))
+            self.crop_w = max(1, int(g.map_w * lsd_window))
         from .. import native
 
         self._native = native if native.available() else None
+        self._pool = ThreadPoolExecutor(max_workers=max(1, host_workers), thread_name_prefix="batch-host")
+        self._ocr_lock = threading.Lock()
+        self._scales_cache: dict = {}
 
     def _pack_rois(self, frames: list[np.ndarray]) -> np.ndarray:
         g = self.geom
@@ -54,6 +85,25 @@ class BatchPipeline:
             out[i, : m.size] = m.reshape(-1)
             out[i, m.size :] = b.reshape(-1)
         return out
+
+    def _find_lines(self, crop_mask: np.ndarray, offset: tuple[int, int]) -> list[Line]:
+        if crop_mask.size == 0:
+            return []
+        g = self.geom
+        full = (g.map_h, g.map_w)
+        if self._native is not None:
+            return self._native.find_lines(
+                crop_mask, C.LSD_MAX_GAP, full_shape=full, offset=offset
+            )
+        # Oracle fallback has no windowed view: paste into a full canvas so
+        # coordinates (and f32 march arithmetic) stay in full-plane space.
+        ox, oy = offset
+        if crop_mask.shape == full and (ox, oy) == (0, 0):
+            canvas = crop_mask
+        else:
+            canvas = np.zeros(full, dtype=np.uint8)
+            canvas[oy : oy + crop_mask.shape[0], ox : ox + crop_mask.shape[1]] = crop_mask
+        return vlsd.find_lines(canvas, C.LSD_MAX_GAP, oracle_march)
 
     def process(self, frames: list[np.ndarray]) -> list[BatchResult]:
         """frames: BGRA u8 arrays of the pipeline resolution, len <= batch."""
@@ -73,54 +123,115 @@ class BatchPipeline:
             btn_w=g.btn_w,
             grayscale=True,
             with_ocr=with_ocr,
+            crop_h=self.crop_h,
+            crop_w=self.crop_w,
         )
         packs = np.asarray(out["hostpack"])  # ONE fetch for the whole batch
-        layout = ops_pipeline.hostpack_layout(g.map_h, g.map_w, with_ocr=with_ocr)
-
-        results: list[BatchResult] = []
+        layout = ops_pipeline.hostpack_layout(
+            g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=True,
+            crop_h=self.crop_h, crop_w=self.crop_w,
+        )
+        eff_ch = g.map_h if self.crop_h is None else self.crop_h
+        eff_cw = g.map_w if self.crop_w is None else self.crop_w
         mask_row = (g.map_w + 7) // 8
+        crop_row = (eff_cw + 7) // 8
+        margin = ops_pipeline.LSD_CROP_MARGIN
+
+        def sect(i, name):
+            off, size = layout[name]
+            return packs[i, off : off + size]
+
+        # Pass 1 (host, cheap): red gates, bboxes, window misses, checksum set.
+        active: list[int] = []
+        meta = {}
+        misses: list[int] = []
+        want_scales: list[int] = []
         for i in range(n):
-            pack = packs[i]
-
-            def sect(name):
-                off, size = layout[name]
-                return pack[off : off + size]
-
-            red = float(sect("red_ratio").view(np.float32)[0])
+            red = float(sect(i, "red_ratio").view(np.float32)[0])
             if red < C.CLOSE_DEPLOYMENT_BUTTON_RED_PIXEL_THRESHOLD:
-                results.append(BatchResult(True, [], None, None))
                 continue
-
-            lsd_mask = (
-                ops_pipeline.unpack_bits_host(
-                    sect("lsd_bits").reshape(g.map_h, mask_row), g.map_w
-                )
-                * np.uint8(255)
+            active.append(i)
+            y0, y1, x0, x1, cy0, cx0 = (int(v) for v in sect(i, "lsd_meta").view(np.int32))
+            empty = y0 >= y1 or x0 >= x1
+            fit = (not empty) and (
+                cy0 + eff_ch >= min(y1 + margin, g.map_h)
+                and cx0 + eff_cw >= min(x1 + margin, g.map_w)
             )
-            if self._native is not None:
-                markers = self._native.find_lines(lsd_mask, C.LSD_MAX_GAP)
+            if not empty and not fit:
+                misses.append(i)
+            check = None
+            if with_ocr:
+                check = tuple(int(v) for v in sect(i, "scales_check").view(np.uint32))
+                if check not in self._scales_cache:
+                    want_scales.append(i)
+            meta[i] = (empty, fit, (cx0, cy0), check)
+
+        # Window misses: ONE batched fetch of the full bit-masks involved.
+        full_bits = {}
+        if misses:
+            fetched = np.asarray(out["lsd_bits"][np.asarray(misses)])
+            for k, i in enumerate(misses):
+                full_bits[i] = fetched[k]
+
+        # Scales: ONE batched scalespack fetch iff some checksum missed.
+        scalespacks = None
+        if want_scales:
+            scalespacks = np.asarray(out["scalespack"])
+        sp_layout = ops_pipeline.scalespack_layout(g.map_h, g.map_w) if with_ocr else None
+
+        def host_stage(i: int) -> BatchResult:
+            empty, fit, (cx0, cy0), check = meta[i]
+            if empty:
+                markers: list[Line] = []
+            elif fit:
+                bits = sect(i, "lsd_crop").reshape(eff_ch, crop_row)
+                crop = ops_pipeline.unpack_bits_host(bits, eff_cw) * np.uint8(255)
+                markers = self._find_lines(crop, (cx0, cy0))
             else:
-                markers = vlsd.find_lines(lsd_mask, C.LSD_MAX_GAP, oracle_march)
+                full = ops_pipeline.unpack_bits_host(
+                    full_bits[i].reshape(g.map_h, mask_row), g.map_w
+                ) * np.uint8(255)
+                markers = self._find_lines(full, (0, 0))
 
             quiet = ops_pipeline.unpack_bits_host(
-                sect("quiet_bits").reshape(g.map_h, mask_row), g.map_w
+                sect(i, "quiet_bits").reshape(g.map_h, mask_row), g.map_w
             ).astype(bool)
             minimap = fm.find_minimap_quiet(quiet)
 
             ratio = None
             if with_ocr:
-                brq_row = (g.brq_w + 7) // 8
-                ocr_img = sect("ocr_img").reshape(g.brq_h, g.brq_w)
-                ocr_results = self.ocr_engine.read(ocr_img, None)
-                from .pipeline import _parse_scales
+                if check in self._scales_cache:
+                    ratio = self._scales_cache[check]
+                else:
+                    so, ss = sp_layout["scales_bits"]
+                    oo, os_ = sp_layout["ocr_img"]
+                    sp = scalespacks[i]
+                    ocr_img = sp[oo : oo + os_].reshape(g.brq_h, g.brq_w)
+                    with self._ocr_lock:  # engine singletons are not re-entrant
+                        ocr_results = self.ocr_engine.read(ocr_img, None)
+                    from .pipeline import _parse_scales
 
-                scales, start_y = _parse_scales(ocr_results)
-                if scales and start_y is not None:
-                    scales_img = ops_pipeline.unpack_bits_host(
-                        sect("scales_bits").reshape(g.brq_h, brq_row), g.brq_w
-                    ) * np.uint8(255)
-                    ratio = mpx.calc_meters_to_px_ratio(scales, scales_img)
+                    scales, start_y = _parse_scales(ocr_results)
+                    if scales and start_y is not None:
+                        scales_img = ops_pipeline.unpack_bits_host(
+                            sp[so : so + ss].reshape(g.brq_h, (g.brq_w + 7) // 8),
+                            g.brq_w,
+                        ) * np.uint8(255)
+                        ratio = mpx.calc_meters_to_px_ratio(scales, scales_img)
+                    if len(self._scales_cache) > 256:
+                        self._scales_cache.clear()
+                    self._scales_cache[check] = ratio
 
-            results.append(BatchResult(False, markers, minimap, ratio))
+            return BatchResult(False, markers, minimap, ratio)
 
+        futures = {i: self._pool.submit(host_stage, i) for i in active}
+        results: list[BatchResult] = []
+        for i in range(n):
+            if i in futures:
+                results.append(futures[i].result())
+            else:
+                results.append(BatchResult(True, [], None, None))
         return results
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)

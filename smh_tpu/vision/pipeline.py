@@ -150,17 +150,26 @@ class VisionState:
         debug_view: DebugView = DebugView.NONE,
         collect_debug_overlays: bool = False,
         minimap_every: int = 1,
+        scales_async: bool = False,
     ) -> None:
         """minimap_every=N runs minimap-bounds detection every Nth frame and
         reuses cached bounds in between (they only move on zoom changes) —
         a perf knob that also drops the quiet mask from the device fetch.
-        N=1 (default) matches the reference's every-frame behaviour."""
+        N=1 (default) matches the reference's every-frame behaviour.
+
+        scales_async=True takes the scales branch off the per-frame critical
+        path: markers publish immediately with the latest known ratio while
+        the OCR image fetch + engine + bar scan run on a worker at their own
+        cadence (the ratio only changes on zoom, so <=1 frame of staleness is
+        invisible). False (default) joins both branches like the reference
+        (src/vision/mod.rs:219-223)."""
         self.settings = settings or Settings(path=None)
         self.delegate = BackendDelegate(self.settings)
         self.ocr_engine = ocr_engine
         self.debug_view = debug_view
         self.collect_debug_overlays = collect_debug_overlays
         self.minimap_every = max(1, minimap_every)
+        self.scales_async = scales_async
         self._frame_counter = 0
         self._minimap_cache: Optional[tuple[tuple[int, int], Optional[Rect]]] = None
         self._pool = concurrent.futures.ThreadPoolExecutor(
@@ -169,7 +178,11 @@ class VisionState:
         # OCR is deterministic in its input image + DPI: identical frames
         # (map not panning) reuse the previous ratio instead of re-running
         # Tesseract — a >10ms/frame win the reference leaves on the table.
-        self._scales_cache: Optional[tuple[int, Optional[float]]] = None
+        # Keyed on the device-side scales checksum when the backend has one
+        # (no pixel fetch at all on a hit), else on host content crc32.
+        self._scales_cache: Optional[tuple[object, Optional[float]]] = None
+        self._scales_future: Optional[concurrent.futures.Future] = None
+        self._last_ratio: Optional[float] = None
 
     # ------------------------------------------------------------------
 
@@ -283,24 +296,41 @@ class VisionState:
             import zlib
 
             backend.thread_ctx()
-            with timeshare(shares, "ocr_preprocess"):
-                ocr_image = backend.ocr_preprocess()
-
             dpi = frame.dpi
-            # The cached ratio depends on the OCR image, the DPI AND the
-            # binarized scales plane (bar widths live there): only cache when
-            # the backend can fingerprint the latter.
-            fp_fn = getattr(backend, "scales_fingerprint", None)
-            fp = fp_fn() if callable(fp_fn) else None
-            cache_key = None
-            if fp is not None:
-                cache_key = zlib.crc32(ocr_image.tobytes()) ^ (hash(dpi) & 0xFFFFFFFF) ^ fp
+
+            # Checksum-first: backends with device-side change detection
+            # (scales_check) let a cache hit skip the OCR-image fetch
+            # entirely — zero D2H bytes for the whole branch.
+            check_fn = getattr(backend, "scales_check", None)
+            check = check_fn() if callable(check_fn) else None
+            cache_key: Optional[object] = None
+            if check is not None:
+                cache_key = (check, dpi)
                 if (
                     not self.collect_debug_overlays
                     and self._scales_cache is not None
                     and self._scales_cache[0] == cache_key
                 ):
                     return self._scales_cache[1]
+
+            with timeshare(shares, "ocr_preprocess"):
+                ocr_image = backend.ocr_preprocess()
+
+            if cache_key is None:
+                # Host-content fallback key (numpy backend): the cached ratio
+                # depends on the OCR image, the DPI AND the binarized scales
+                # plane (bar widths live there) — only cache when the backend
+                # can fingerprint the latter.
+                fp_fn = getattr(backend, "scales_fingerprint", None)
+                fp = fp_fn() if callable(fp_fn) else None
+                if fp is not None:
+                    cache_key = zlib.crc32(ocr_image.tobytes()) ^ (hash(dpi) & 0xFFFFFFFF) ^ fp
+                    if (
+                        not self.collect_debug_overlays
+                        and self._scales_cache is not None
+                        and self._scales_cache[0] == cache_key
+                    ):
+                        return self._scales_cache[1]
 
             with timeshare(shares, "ocr"):
                 ocr_results = self.ocr_engine.read(ocr_image, dpi)
@@ -354,7 +384,15 @@ class VisionState:
         run_scales = self.ocr_engine is not None and getattr(
             backend, "scales_enabled", not heightmaps.is_set()
         )
-        if run_scales:
+        if (
+            run_scales
+            and self.scales_async
+            and not self.collect_debug_overlays
+            and callable(getattr(backend, "snapshot_scales_job", None))
+        ):
+            results.markers = markers_branch()
+            results.meters_to_px_ratio = self._scales_async_step(backend, frame.dpi)
+        elif run_scales:
             f_markers = self._pool.submit(markers_branch)
             f_scales = self._pool.submit(scales_branch)
             results.markers = f_markers.result()
@@ -370,6 +408,44 @@ class VisionState:
             debug.debug_view = results.debug_view
 
         return results
+
+    def _scales_async_step(self, backend, dpi) -> Optional[float]:
+        """Off-critical-path scales: harvest any finished worker, start a new
+        one when this frame's checksum misses the cache, and return the
+        latest known ratio. The worker closes over THIS frame's immutable
+        device arrays (snapshot_scales_job), so later dispatches cannot race
+        it. At most one worker is in flight: a burst of changing frames
+        coalesces to the newest once the worker frees up."""
+        fut = self._scales_future
+        if fut is not None and fut.done():
+            self._scales_future = None
+            try:
+                key, ratio = fut.result()
+            except Exception:
+                log.exception("async scales branch failed")
+            else:
+                self._scales_cache = (key, ratio)
+                self._last_ratio = ratio
+
+        job = backend.snapshot_scales_job()
+        if job is None:
+            return self._last_ratio
+        key = (job["check"], dpi)
+        if self._scales_cache is not None and self._scales_cache[0] == key:
+            self._last_ratio = self._scales_cache[1]
+        elif self._scales_future is None:
+            engine = self.ocr_engine
+
+            def work():
+                ocr_image, scales_img = job["fetch"]()
+                ocr_results = engine.read(ocr_image, dpi)
+                scales, start_y = _parse_scales(ocr_results)
+                if not scales or start_y is None:
+                    return key, None
+                return key, mpx.calc_meters_to_px_ratio(scales, scales_img)
+
+            self._scales_future = self._pool.submit(work)
+        return self._last_ratio
 
     def close(self) -> None:
         self._pool.shutdown(wait=False)

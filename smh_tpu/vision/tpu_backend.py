@@ -5,19 +5,31 @@ Implements the same backend contract as ReferenceBackend (mirroring the
 fused JAX ops in smh_tpu.ops. Where the reference GPU backend launches one
 CUDA kernel per stage across 4 streams (vision-gpu/src/lib.rs:207-479), this
 backend runs the entire elementwise DAG in ONE jitted dispatch when
-crop_to_map is called; the later stage methods only fetch cached results, so
-the trait-shaped API is preserved without giving up fusion.
+crop_to_map is called; the later stage methods only consume cached results,
+so the trait-shaped API is preserved without giving up fusion.
 
 Host<->device traffic (the H2D/D2H boundaries of SURVEY.md section 3.1):
-  * one H2D per frame (device_put of the BGRA frame);
-  * D2H of ui_map (for the UI), lsd_mask (for the host seed scan), ocr_img
-    (for Tesseract) and scales_bin (for the scale-bar scan) — the same four
-    transfers the reference performs with pinned buffers
+  * one H2D per frame (flat upload of the map+button ROIs);
+  * ONE critical-path D2H per frame: the hostpack (red gate, checksums, LSD
+    bbox + windowed mask crop, quiet mask on minimap-cadence frames);
+  * lazy D2H: the ui plane (display only, checksum-deduped) and the
+    scalespack (OCR image + scales binarize) fetched only when the device
+    checksum says its content changed. The reference instead pins and
+    transfers the OCR and LSD images every frame
     (vision-gpu/src/gpuimage.rs:117-167).
+
+The LSD crop window adapts: a rung ladder (1/4, 1/2, 3/4, full of the map)
+sized per frame from the device-computed mask bbox, escalating immediately on
+a miss (that frame falls back to fetching the full bit-mask, kept
+device-resident) and shrinking only after a run of comfortably-fitting
+frames. Crop-local detection is bit-identical to full-mask detection because
+the window carries LSD_CROP_MARGIN black context (>= max_gap + 2 ray death,
+>= centre-snap radius).
 """
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -29,6 +41,23 @@ from ..ops import lsd as ops_lsd
 from ..ops import pipeline as ops_pipeline
 from . import lsd
 from .reference import DebugView
+
+# Maps whose full bit-mask is at most this many bytes skip the windowing
+# machinery entirely (tiny test frames; the crop would not pay for itself).
+_MIN_WINDOWED_MASK_BYTES = 16 * 1024
+# Extra headroom the next frame's window must have over this frame's bbox
+# (marker lines grow under the player's drag).
+_RUNG_SLACK = 64
+# Consecutive comfortably-fitting frames before the window shrinks a rung.
+_SHRINK_AFTER = 30
+
+
+def _lsd_ladder(map_h: int, map_w: int) -> list[tuple[int, int]]:
+    rungs = []
+    for num, den in ((1, 4), (1, 2), (3, 4)):
+        rungs.append((max(1, (map_h * num) // den), max(1, (map_w * num) // den)))
+    rungs.append((map_h, map_w))
+    return rungs
 
 
 class TpuBackend:
@@ -43,13 +72,20 @@ class TpuBackend:
         self.rois_dev: Optional[jax.Array] = None  # packed map+btn ROI upload
         self.geom: Optional[C.MapGeometry] = None
         self._results: Optional[dict] = None
-        self._lsd_mask_host: Optional[np.ndarray] = None
+        self._lsd_crop_host: Optional[np.ndarray] = None  # u8 0/255 crop
+        self._lsd_offset: tuple[int, int] = (0, 0)  # (x, y) of crop in map
+        self._march_max_len: Optional[float] = None  # bbox diag bound
         self._debug = False
         self._grayscale = True
-        self._dispatch_flags: tuple = (True, True, True)
+        self._dispatch_flags: tuple = (True, True, True, None, None, "off")
         self._host: Optional[dict] = None  # parsed hostpack sections
+        self._scalespack_host: Optional[np.ndarray] = None
         self._ui_check: Optional[tuple] = None
         self._ui_map_cache: Optional[np.ndarray] = None
+        self._ladder: Optional[list[tuple[int, int]]] = None
+        self._rung = 1  # start at the 1/2 window
+        self._shrink_streak = 0
+        self.stats = {"lsd_window_misses": 0, "scalespack_fetches": 0, "frames": 0}
         # The driver disables this when a heightmap supplies distances or no
         # OCR engine exists: the OCR image then never leaves the device.
         self.scales_enabled = True
@@ -78,6 +114,7 @@ class TpuBackend:
         h, w = frame_bgra.shape[:2]
         if self.geom is None or (self.geom.frame_w, self.geom.frame_h) != (w, h):
             self.geom = C.map_geometry(w, h)
+            self._ladder = None
         g = self.geom
         self.frame_np = frame_bgra
         # Upload only the ROIs the pipeline reads (map + close-button), as
@@ -91,11 +128,52 @@ class TpuBackend:
         self.rois_dev = jax.device_put(packed)
         self._results = None
         self._host = None
-        self._lsd_mask_host = None
+        self._scalespack_host = None
+        self._lsd_crop_host = None
 
     def get_cpu_frame(self) -> np.ndarray:
         assert self.frame_np is not None
         return self.frame_np
+
+    # -- window ladder ---------------------------------------------------------
+
+    def _crop_size(self) -> tuple[Optional[int], Optional[int]]:
+        """The static LSD window for the next dispatch (None, None = full)."""
+        g = self.geom
+        mask_bytes = g.map_h * ((g.map_w + 7) // 8)
+        if mask_bytes <= _MIN_WINDOWED_MASK_BYTES:
+            return None, None
+        if self._ladder is None:
+            self._ladder = _lsd_ladder(g.map_h, g.map_w)
+            self._rung = min(self._rung, len(self._ladder) - 1)
+        ch, cw = self._ladder[self._rung]
+        if (ch, cw) == (g.map_h, g.map_w):
+            return None, None
+        return ch, cw
+
+    def _rung_for_bbox(self, bh: int, bw: int) -> int:
+        """Smallest rung whose window holds bbox + margins + motion slack."""
+        need_h = bh + 2 * ops_pipeline.LSD_CROP_MARGIN + _RUNG_SLACK
+        need_w = bw + 2 * ops_pipeline.LSD_CROP_MARGIN + _RUNG_SLACK
+        for i, (ch, cw) in enumerate(self._ladder):
+            if ch >= need_h and cw >= need_w:
+                return i
+        return len(self._ladder) - 1
+
+    def _adapt_rung(self, bh: int, bw: int) -> None:
+        if self._ladder is None:
+            return
+        want = self._rung_for_bbox(bh, bw)
+        if want > self._rung:
+            self._rung = want
+            self._shrink_streak = 0
+        elif want < self._rung:
+            self._shrink_streak += 1
+            if self._shrink_streak >= _SHRINK_AFTER:
+                self._rung -= 1  # one rung at a time
+                self._shrink_streak = 0
+        else:
+            self._shrink_streak = 0
 
     # -- stages ---------------------------------------------------------------
 
@@ -108,7 +186,16 @@ class TpuBackend:
         if grayscale is not None:
             self._grayscale = grayscale
         g = self.geom
-        self._dispatch_flags = (self.scales_enabled, self.quiet_enabled, self._grayscale)
+        crop_h, crop_w = self._crop_size()
+        pallas = ops_pipeline.pallas_mode()
+        self._dispatch_flags = (
+            self.scales_enabled,
+            self.quiet_enabled,
+            self._grayscale,
+            crop_h,
+            crop_w,
+            pallas,
+        )
         self._results = ops_pipeline._analyze_packed_flat(
             self.rois_dev,
             map_h=g.map_h,
@@ -118,6 +205,9 @@ class TpuBackend:
             grayscale=self._grayscale,
             with_ocr=self.scales_enabled,
             with_quiet=self.quiet_enabled,
+            crop_h=crop_h,
+            crop_w=crop_w,
+            pallas=pallas,
         )
 
     def snapshot_job(self) -> dict:
@@ -140,27 +230,31 @@ class TpuBackend:
         # hostpack was packed with (crop_to_map slices by _dispatch_flags;
         # a later submit may have overwritten them with the next frame's).
         self._dispatch_flags = job["flags"]
-        self.scales_enabled, self.quiet_enabled, self._grayscale = job["flags"]
+        self.scales_enabled, self.quiet_enabled, self._grayscale = job["flags"][:3]
         self._host = None
-        self._lsd_mask_host = None
+        self._scalespack_host = None
+        self._lsd_crop_host = None
 
-    def crop_to_map(self, grayscale: bool) -> Optional[tuple[np.ndarray, tuple[int, int, int, int]]]:
+    def crop_to_map(self, grayscale: bool) -> Optional[tuple]:
         assert self.rois_dev is not None and self.geom is not None
         g = self.geom
 
         # ONE dispatch, ONE device->host fetch: the packed buffer carries the
-        # red gate, ui checksum, all bit-masks and the OCR image. (The fetch
-        # latency, ~25 ms on this relay, dominates any payload size, so the
-        # reference's "gate first, then compute" order inverts: computing the
-        # sleeping frame costs ~0.5 ms of device time and saves a roundtrip.)
+        # red gate, checksums, LSD bbox + window crop and the quiet mask. (The
+        # fetch latency, ~25 ms on this relay, dominates any payload size, so
+        # the reference's "gate first, then compute" order inverts: computing
+        # the sleeping frame costs ~0.5 ms of device time, saves a roundtrip.)
         if self._results is None or self._grayscale != grayscale:
             self._grayscale = grayscale
             self.dispatch()
-        with_ocr, with_quiet, _ = self._dispatch_flags
+        with_ocr, with_quiet, _, crop_h, crop_w, _ = self._dispatch_flags
         pack = np.asarray(self._results["hostpack"])
         layout = ops_pipeline.hostpack_layout(
-            g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=with_quiet
+            g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=with_quiet,
+            crop_h=crop_h, crop_w=crop_w,
         )
+        eff_ch = g.map_h if crop_h is None else crop_h
+        eff_cw = g.map_w if crop_w is None else crop_w
 
         def sect(name):
             off, size = layout[name]
@@ -170,17 +264,48 @@ class TpuBackend:
         if red_ratio < C.CLOSE_DEPLOYMENT_BUTTON_RED_PIXEL_THRESHOLD:
             return None
 
+        self.stats["frames"] += 1
         mask_row = (g.map_w + 7) // 8
-        brq_row = (g.brq_w + 7) // 8
+        y0, y1, x0, x1, cy0, cx0 = (int(v) for v in sect("lsd_meta").view(np.int32))
         self._host = {
             "ui_check": tuple(int(v) for v in sect("ui_check").view(np.uint32)),
-            "lsd_bits": sect("lsd_bits").reshape(g.map_h, mask_row),
+            "lsd_bbox": (y0, y1, x0, x1),
         }
+        if with_ocr:
+            self._host["scales_check"] = tuple(int(v) for v in sect("scales_check").view(np.uint32))
         if with_quiet:
             self._host["quiet_bits"] = sect("quiet_bits").reshape(g.map_h, mask_row)
-        if with_ocr:
-            self._host["scales_bits"] = sect("scales_bits").reshape(g.brq_h, brq_row)
-            self._host["ocr_img"] = sect("ocr_img").reshape(g.brq_h, g.brq_w)
+
+        empty = y0 >= y1 or x0 >= x1
+        if empty:
+            self._host["lsd_crop_bits"] = None
+            self._host["lsd_offset"] = (0, 0)
+            self._host["lsd_crop_shape"] = (0, 0)
+            self._march_max_len = 0.0
+            if self._ladder is not None:
+                self._adapt_rung(0, 0)
+        else:
+            m = ops_pipeline.LSD_CROP_MARGIN
+            fit = (
+                cy0 + eff_ch >= min(y1 + m, g.map_h)
+                and cx0 + eff_cw >= min(x1 + m, g.map_w)
+            )
+            self._march_max_len = math.hypot(y1 - y0, x1 - x0) + 1.0
+            if fit:
+                crow = (eff_cw + 7) // 8
+                self._host["lsd_crop_bits"] = sect("lsd_crop").reshape(eff_ch, crow)
+                self._host["lsd_offset"] = (cx0, cy0)
+                self._host["lsd_crop_shape"] = (eff_ch, eff_cw)
+            else:
+                # Window miss: fall back to the device-resident full mask
+                # (one extra fetch this frame) and escalate the rung.
+                self.stats["lsd_window_misses"] += 1
+                self._host["lsd_crop_bits"] = np.asarray(self._results["lsd_bits"])
+                self._host["lsd_offset"] = (0, 0)
+                self._host["lsd_crop_shape"] = (g.map_h, g.map_w)
+            if self._ladder is not None:
+                self._adapt_rung(y1 - y0, x1 - x0)
+
         if self._debug:
             # Debug views want the extra intermediates: run the full-output
             # pass too (debug mode trades speed for visibility).
@@ -226,55 +351,143 @@ class TpuBackend:
             return None
         return ops_pipeline.unpack_bits_host(self._host["quiet_bits"], self.geom.map_w).astype(bool)
 
-    def ocr_preprocess(self) -> np.ndarray:
-        assert self._host is not None
-        return self._host["ocr_img"]
+    # -- scales branch (lazy, checksum-gated) ----------------------------------
+
+    def scales_check(self) -> Optional[tuple]:
+        """Device-computed content checksum of (scales binarize, OCR image).
+        The driver's ratio cache keys on this WITHOUT fetching any pixels."""
+        if self._host is None:
+            return None
+        return self._host.get("scales_check")
 
     def scales_fingerprint(self) -> Optional[int]:
-        """crc32 of the binarized scales plane: the ratio result depends on
-        this image too, so the driver's OCR-result cache keys on it."""
-        import zlib
-
-        if self._host is None or "scales_bits" not in self._host:
+        """Back-compat fingerprint for drivers keying their own cache."""
+        check = self.scales_check()
+        if check is None:
             return None
-        return zlib.crc32(self._host["scales_bits"].tobytes())
+        return hash(check) & 0xFFFFFFFF
+
+    def _fetch_scalespack(self) -> np.ndarray:
+        if self._scalespack_host is None:
+            assert self._results is not None and "scalespack" in self._results, (
+                "scales branch consumed but dispatch ran with scales disabled"
+            )
+            self._scalespack_host = np.asarray(self._results["scalespack"])
+            self.stats["scalespack_fetches"] += 1
+        return self._scalespack_host
+
+    def snapshot_scales_job(self) -> Optional[dict]:
+        """Self-contained handle for an async scales branch: checksum + a
+        fetch closure over THIS frame's device arrays (immutable), safe to
+        run while later frames dispatch."""
+        if self._host is None or "scales_check" not in self._host:
+            return None
+        g = self.geom
+        results = self._results
+        layout = ops_pipeline.scalespack_layout(g.map_h, g.map_w)
+        brq_h, brq_w = g.brq_h, g.brq_w
+
+        def fetch() -> tuple[np.ndarray, np.ndarray]:
+            pack = np.asarray(results["scalespack"])
+            so, ss = layout["scales_bits"]
+            oo, os_ = layout["ocr_img"]
+            scales_img = (
+                ops_pipeline.unpack_bits_host(
+                    pack[so : so + ss].reshape(brq_h, (brq_w + 7) // 8), brq_w
+                )
+                * np.uint8(255)
+            )
+            ocr_img = pack[oo : oo + os_].reshape(brq_h, brq_w)
+            return ocr_img, scales_img
+
+        return {"check": self._host["scales_check"], "fetch": fetch}
+
+    def ocr_preprocess(self) -> np.ndarray:
+        assert self.geom is not None
+        g = self.geom
+        layout = ops_pipeline.scalespack_layout(g.map_h, g.map_w)
+        off, size = layout["ocr_img"]
+        return self._fetch_scalespack()[off : off + size].reshape(g.brq_h, g.brq_w)
 
     def find_scales_preprocess(self, scales_start_y: int) -> np.ndarray:
         """Returns the binarized BRQ as 0/255 u8 (bit-unpacked)."""
-        assert self._host is not None and self.geom is not None
-        return ops_pipeline.unpack_bits_host(self._host["scales_bits"], self.geom.brq_w) * np.uint8(255)
+        assert self.geom is not None
+        g = self.geom
+        layout = ops_pipeline.scalespack_layout(g.map_h, g.map_w)
+        off, size = layout["scales_bits"]
+        bits = self._fetch_scalespack()[off : off + size].reshape(g.brq_h, (g.brq_w + 7) // 8)
+        return ops_pipeline.unpack_bits_host(bits, g.brq_w) * np.uint8(255)
+
+    # -- markers branch ---------------------------------------------------------
 
     def isolate_map_markers(self) -> None:
         """Fused into the crop_to_map dispatch."""
 
     def mask_marker_lines(self) -> None:
-        """Fused into the crop_to_map dispatch; unpacks the mask for the scan."""
+        """Fused into the crop_to_map dispatch; unpacks the windowed crop."""
         assert self._host is not None and self.geom is not None
-        self._lsd_mask_host = (
-            ops_pipeline.unpack_bits_host(self._host["lsd_bits"], self.geom.map_w) * np.uint8(255)
-        )
+        bits = self._host["lsd_crop_bits"]
+        if bits is None:  # empty mask: no white pixels anywhere
+            self._lsd_crop_host = np.zeros((0, 0), dtype=np.uint8)
+            self._lsd_offset = (0, 0)
+            return
+        ch, cw = self._host["lsd_crop_shape"]
+        self._lsd_crop_host = ops_pipeline.unpack_bits_host(bits, cw) * np.uint8(255)
+        self._lsd_offset = self._host["lsd_offset"]
+
+    def _full_mask_host(self) -> np.ndarray:
+        """Full-size 0/255 host mask (debug views, device-march seed scan)."""
+        assert self._results is not None and self.geom is not None
+        g = self.geom
+        bits = np.asarray(self._results["lsd_bits"])
+        return ops_pipeline.unpack_bits_host(bits, g.map_w) * np.uint8(255)
 
     def find_longest_line(self, mask: np.ndarray, pt: Point, max_gap: float) -> tuple[Line, float]:
         assert self._results is not None
-        return ops_lsd.find_longest_line(self._results["lsd_mask"], pt, max_gap)
+        return ops_lsd.find_longest_line(
+            self._results["lsd_mask"], pt, max_gap, max_len=self._march_max_len
+        )
 
     def _find_longest_lines_batch(self, mask: np.ndarray, pts: list[Point], max_gap: float):
         assert self._results is not None
-        return ops_lsd.find_longest_lines_batch(self._results["lsd_mask"], pts, max_gap)
+        return ops_lsd.find_longest_lines_batch(
+            self._results["lsd_mask"], pts, max_gap, max_len=self._march_max_len
+        )
 
     def find_marker_lines(self, max_gap: int) -> list[Line]:
-        if self._lsd_mask_host is None:
+        if self._lsd_crop_host is None:
             self.mask_marker_lines()
+        crop = self._lsd_crop_host
+        if crop.size == 0:
+            return []
+        ox, oy = self._lsd_offset
+
         if self.lsd_engine == "native":
             from .. import native
 
-            return native.find_lines(self._lsd_mask_host, max_gap)
-        return lsd.find_lines(
-            self._lsd_mask_host,
-            max_gap,
-            self.find_longest_line,
-            find_longest_lines_batch=self._find_longest_lines_batch,
-        )
+            # Full-plane coordinates through the windowed view: bit-identical
+            # to scanning the full mask (outside-window pixels are black by
+            # bbox construction).
+            g = self.geom
+            return native.find_lines(
+                crop, max_gap, full_shape=(g.map_h, g.map_w), offset=(ox, oy)
+            )
+        else:
+            # Device march samples the FULL device mask, so seeds must be in
+            # map coordinates: paste the crop into a full-size canvas (host
+            # memset, ~sub-ms) and scan that.
+            g = self.geom
+            if crop.shape == (g.map_h, g.map_w):
+                canvas = crop
+            else:
+                canvas = np.zeros((g.map_h, g.map_w), dtype=np.uint8)
+                canvas[oy : oy + crop.shape[0], ox : ox + crop.shape[1]] = crop
+            return lsd.find_lines(
+                canvas,
+                max_gap,
+                self.find_longest_line,
+                find_longest_lines_batch=self._find_longest_lines_batch,
+            )
 
     # -- debug ----------------------------------------------------------------
 
@@ -295,15 +508,15 @@ class TpuBackend:
             return out
 
         if choice == DebugView.OCR_INPUT:
-            if self._host is None:
+            if self._results.get("scalespack") is None:
                 return None
-            return gray_rgba(self._host["ocr_img"])
+            return gray_rgba(self.ocr_preprocess())
         if choice == DebugView.FIND_SCALES_INPUT:
+            if self._results.get("scalespack") is None:
+                return None
             return gray_rgba(self.find_scales_preprocess(0))
         if choice == DebugView.LSD_INPUT:
-            if self._lsd_mask_host is None:
-                self.mask_marker_lines()
-            return gray_rgba(self._lsd_mask_host)
+            return gray_rgba(self._full_mask_host())
         if choice == DebugView.LSD_PREPROCESS and "isolated_map" in self._results:
             return rgb_rgba(np.asarray(self._results["isolated_map"]))
         if choice == DebugView.CROPPED_BRQ and "cropped_brq" in self._results:

@@ -1,0 +1,192 @@
+"""Hostpack v2: windowed LSD crop, checksum-gated scales, async branch.
+
+The round-2 payload redesign must be behaviour-preserving: crop-local
+detection == full-mask detection (exactly — the window carries enough black
+margin that rays/snaps can't tell the difference), window misses fall back to
+the full mask, and the scales branch fetches pixels only when the device
+checksum changed."""
+
+import os
+
+import numpy as np
+import pytest
+
+from smh_tpu import consts as C, testing
+from smh_tpu.ocr import FakeOcrEngine, OcrResult
+from smh_tpu.settings import Settings
+from smh_tpu.squadex.capture import Frame
+from smh_tpu.vision.pipeline import VisionState
+from smh_tpu.vision.tpu_backend import TpuBackend
+
+W, H = 1920, 1080  # map mask > 16 KiB: windowing active
+
+
+def small_lines_frame(off=0):
+    return testing.make_frame(
+        W, H,
+        marker_lines=[((120 + off, 150), (380 + off, 320))],
+        scale_bars=[(60, 200, 120, 1)],
+    )
+
+
+def spanning_lines_frame():
+    g = C.map_geometry(W, H)
+    return testing.make_frame(
+        W, H,
+        marker_lines=[
+            ((20, 20), (g.map_w - 30, g.map_h - 40)),
+            ((g.map_w - 50, 40), (30, g.map_h - 60)),
+        ],
+        scale_bars=[(60, 200, 120, 1)],
+    )
+
+
+def detect(be: TpuBackend, frame) -> list:
+    be.load_frame(frame)
+    assert be.crop_to_map(True) is not None
+    be.mask_marker_lines()
+    return be.find_marker_lines(C.LSD_MAX_GAP)
+
+
+def lines_tuples(lines):
+    return [((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in lines]
+
+
+def force_full(be: TpuBackend):
+    """A backend pinned to the full-mask window (= round-1 behaviour)."""
+    be._ladder = None
+    be.load_frame(small_lines_frame())  # init geom
+    from smh_tpu.vision import tpu_backend as tb
+
+    be._ladder = tb._lsd_ladder(be.geom.map_h, be.geom.map_w)
+    be._rung = len(be._ladder) - 1
+    return be
+
+
+def test_windowed_crop_equals_full_mask_detection():
+    frame = small_lines_frame()
+    be_win = TpuBackend()
+    be_win._rung = 1  # half window: the small line fits
+    lines_win = detect(be_win, frame)
+    assert be_win.stats["lsd_window_misses"] == 0
+    assert be_win._host["lsd_crop_shape"] != (be_win.geom.map_h, be_win.geom.map_w)
+
+    be_full = force_full(TpuBackend())
+    lines_full = detect(be_full, frame)
+
+    assert lines_tuples(lines_win) == lines_tuples(lines_full)
+    assert len(lines_win) == 1
+
+
+def test_window_miss_falls_back_and_escalates():
+    frame = spanning_lines_frame()
+    be = TpuBackend()
+    be._rung = 0  # quarter window: spanning lines cannot fit
+    rung_before = be._rung
+    lines = detect(be, frame)
+    assert be.stats["lsd_window_misses"] == 1
+    assert be._rung > rung_before  # escalated for the next frame
+
+    be_full = force_full(TpuBackend())
+    lines_full = detect(be_full, frame)
+    assert lines_tuples(lines) == lines_tuples(lines_full)
+    assert len(lines) == 2
+
+
+def test_empty_mask_detects_nothing_and_shrinks_payload():
+    frame = testing.make_frame(W, H, marker_lines=[], scale_bars=[(60, 200, 120, 1)])
+    be = TpuBackend()
+    lines = detect(be, frame)
+    assert lines == []
+    y0, y1, x0, x1 = be._host["lsd_bbox"]
+    assert y0 >= y1  # device reported an empty bbox
+
+
+def test_scales_fetch_is_checksum_gated():
+    ocr = FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)])
+    state = VisionState(settings=Settings(path=None), ocr_engine=ocr)
+    state.settings.set("hardware_acceleration", True)
+
+    r1 = state.process(Frame(small_lines_frame(0), 96))
+    be = state.delegate.backend
+    assert isinstance(be, TpuBackend)
+    assert r1 is not None and r1.meters_to_px_ratio is not None
+    fetches_after_first = be.stats["scalespack_fetches"]
+    assert fetches_after_first == 1
+
+    # Same BRQ content (marker moved in the top-left of the map only):
+    # checksum unchanged -> ratio served from cache, NO scalespack fetch.
+    r2 = state.process(Frame(small_lines_frame(7), 96))
+    assert r2 is not None and r2.meters_to_px_ratio == r1.meters_to_px_ratio
+    assert be.stats["scalespack_fetches"] == fetches_after_first
+
+    # Perturb the BRQ -> checksum changes -> one more fetch.
+    f3 = small_lines_frame(7)
+    g = C.map_geometry(W, H)
+    f3[g.brq_y + 300 : g.brq_y + 310, g.brq_x + 300 : g.brq_x + 340, :3] = 255
+    r3 = state.process(Frame(f3, 96))
+    assert r3 is not None and r3.meters_to_px_ratio == r1.meters_to_px_ratio
+    assert be.stats["scalespack_fetches"] == fetches_after_first + 1
+    state.close()
+
+
+def test_async_scales_publishes_markers_immediately_then_ratio():
+    ocr = FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)])
+    state = VisionState(
+        settings=Settings(path=None), ocr_engine=ocr, scales_async=True
+    )
+    state.settings.set("hardware_acceleration", True)
+
+    r1 = state.process(Frame(small_lines_frame(0), 96))
+    assert r1 is not None and len(r1.markers) == 1
+    # Ratio may lag by a frame; feeding identical frames must converge.
+    ratio = r1.meters_to_px_ratio
+    for _ in range(20):
+        if ratio is not None:
+            break
+        import time
+
+        time.sleep(0.02)
+        r = state.process(Frame(small_lines_frame(0), 96))
+        assert r is not None
+        ratio = r.meters_to_px_ratio
+    assert ratio == pytest.approx(300.0 / 118.0)
+    state.close()
+
+
+def test_pallas_flag_routes_classify_through_kernel(monkeypatch):
+    from smh_tpu.ops import pallas_kernels as pk
+    from smh_tpu.ops import pipeline as ops_pipeline
+
+    calls = []
+    real = pk.classify_luma_pallas
+
+    def spy(map_rgb, interpret=False):
+        calls.append(interpret)
+        return real(map_rgb, interpret=interpret)
+
+    monkeypatch.setattr(pk, "classify_luma_pallas", spy)
+    monkeypatch.setenv("SMH_USE_PALLAS", "1")
+    assert ops_pipeline.pallas_mode() == "interpret"  # CPU test platform
+
+    frame = small_lines_frame()
+    lines_pallas = detect(TpuBackend(), frame)
+    assert calls, "SMH_USE_PALLAS=1 must route through classify_luma_pallas"
+
+    monkeypatch.setenv("SMH_USE_PALLAS", "0")
+    lines_xla = detect(TpuBackend(), frame)
+    assert lines_tuples(lines_pallas) == lines_tuples(lines_xla)
+
+
+def test_rung_shrinks_after_streak():
+    from smh_tpu.vision import tpu_backend as tb
+
+    be = TpuBackend()
+    frame = small_lines_frame()
+    be._rung = 2  # oversized window for this bbox
+    detect(be, frame)
+    assert be._rung == 2  # no immediate shrink
+    for _ in range(tb._SHRINK_AFTER):
+        be.dispatch()
+        be.crop_to_map(True)
+    assert be._rung == 1  # one rung at a time after a sustained streak

@@ -83,7 +83,7 @@ def test_fused_pass_parity_synthetic():
     assert (ocr_ref == ocr_tpu).all()
     assert (scales_ref == scales_tpu).all()
     # the marker mask can flip at HSV integer boundaries (division ulps).
-    assert (ref.lsd_image == tpu._lsd_mask_host).mean() > 0.999
+    assert (ref.lsd_image == tpu._full_mask_host()).mean() > 0.999
 
 
 def test_red_gate_parity():
