@@ -24,6 +24,12 @@ class OcrResult:
 
 
 class OcrEngine(Protocol):
+    # Engines that only *threshold* the image (template matchers, canned
+    # fakes) set binary_ok = True: the backend then ships the OCR input as a
+    # bit-packed text mask (8x less D2H) and reconstructs a 0/255 image —
+    # exact for any engine that never reads intermediate gray levels.
+    binary_ok: bool = False
+
     def read(self, gray, dpi: Optional[int] = None) -> list[OcrResult]:
         """Recognize text lines in a grayscale u8 image [h, w]."""
         ...

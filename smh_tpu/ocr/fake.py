@@ -10,6 +10,8 @@ from .engine import OcrResult
 class FakeOcrEngine:
     """Returns pre-scripted results; records what it was asked to read."""
 
+    binary_ok = True  # never reads pixel values
+
     def __init__(self, results: list[OcrResult]) -> None:
         self._results = list(results)
         self.calls: list[tuple[tuple[int, int], Optional[int]]] = []

@@ -91,6 +91,9 @@ class SmhOcrEngine:
     """Digits+'m' word reader over the preprocessed BRQ image."""
 
     name = "smhocr"
+    # The engine only thresholds (gray < TEXT_THRESHOLD); a 0/255 image
+    # reconstructed from the bit-packed text mask reads identically.
+    binary_ok = True
 
     def read(self, gray: np.ndarray, dpi: Optional[int] = None) -> list[OcrResult]:
         from scipy import ndimage

@@ -160,6 +160,73 @@ def _weighted_check(plane: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([p.sum(dtype=jnp.uint32), (p * ww).sum(dtype=jnp.uint32)])
 
 
+def _minimap_rect(quiet: jnp.ndarray) -> jnp.ndarray:
+    """Minimap bounds from the low-edginess mask, entirely on device.
+
+    Exact port of the reference walk (src/vision/find_minimap.rs:48-146, same
+    semantics as vision/find_minimap.find_minimap_quiet): from the map centre
+    march each of the 4 directions to the first quiet pixel that starts a
+    straight quiet run >= half-span toward the centre's far side, and step
+    one back. The run checks are static-slice AND-reductions (the run always
+    starts at the centre row/col) and the walks are first-true searches via
+    log-shift cumulative ANDs — no argmax, no host roundtrip. Ships as 16
+    bytes in the hostpack instead of the packed quiet mask (h*w/8 bytes).
+
+    Returns i32 [4] = (left, top, right, bottom).
+    """
+    h, w = quiet.shape
+    cx, cy = w // 2, h // 2
+    lv = abs(h - cy) // 2 - 1  # vertical run length (left/right candidates)
+    lh = abs(w - cx) // 2 - 1  # horizontal run length (up/down candidates)
+
+    def run_ok_cols(y_lo: int, y_hi: int) -> jnp.ndarray:
+        """all(quiet[y_lo:y_hi, x]) per column, with the walk's bound rule:
+        runs falling outside [3, dim-3] disqualify every candidate."""
+        if y_hi <= y_lo:
+            return jnp.ones((w,), dtype=bool)
+        if y_lo < 3 or (y_hi - 1) > h - 3:
+            return jnp.zeros((w,), dtype=bool)
+        return quiet[y_lo:y_hi, :].all(axis=0)
+
+    def run_ok_rows(x_lo: int, x_hi: int) -> jnp.ndarray:
+        if x_hi <= x_lo:
+            return jnp.ones((h,), dtype=bool)
+        if x_lo < 3 or (x_hi - 1) > w - 3:
+            return jnp.zeros((h,), dtype=bool)
+        return quiet[:, x_lo:x_hi].all(axis=1)
+
+    centre_row = quiet[cy, :]
+    centre_col = quiet[:, cx]
+    left_q = centre_row & run_ok_cols(cy + 1, cy + 1 + lv)  # run downward
+    right_q = centre_row & run_ok_cols(cy - lv, cy)  # run upward
+    up_q = centre_col & run_ok_rows(cx + 1, cx + 1 + lh)  # run rightward
+    down_q = centre_col & run_ok_rows(cx - lh, cx)  # run leftward
+
+    def walk_down(q: jnp.ndarray, start: int) -> jnp.ndarray:
+        """First qualifying index walking start-1, start-2, ..., 3; the walk
+        returns one step back toward the centre, or 0 when exhausted."""
+        seg = q[3:start][::-1]  # walk order
+        k = _first_true_count(seg)
+        found = k < seg.shape[0]
+        idx = (start - 1) - k
+        return jnp.where(found, idx + 1, 0).astype(I32)
+
+    def walk_up(q: jnp.ndarray, start: int, c_max: int) -> jnp.ndarray:
+        """First qualifying index walking start+1 ... c_max; one step back,
+        or c_max + 2 when exhausted."""
+        seg = q[start + 1 : c_max + 1]
+        k = _first_true_count(seg)
+        found = k < seg.shape[0]
+        idx = (start + 1) + k
+        return jnp.where(found, idx - 1, c_max + 2).astype(I32)
+
+    left = walk_down(left_q, cx)
+    right = walk_up(right_q, cx, w - 3)
+    top = walk_down(up_q, cy)
+    bottom = walk_up(down_q, cy, h - 3)
+    return jnp.stack([left, top, right, bottom])
+
+
 def _edgy_quiet(map_bgra: jnp.ndarray) -> jnp.ndarray:
     """Low-edginess mask for the minimap finder.
 
@@ -274,6 +341,7 @@ def _analyze_map(map_bgra: jnp.ndarray, grayscale: bool, with_isolated: bool, pa
 
     ocr_img = _ocr_preprocess(brq_rgb)
     scales_bool = hsv.luma8(brq_rgb) != 0
+    quiet_bool = _edgy_quiet(map_bgra)
 
     # Cheap device-side checksum of the ui plane: lets the host skip the
     # (expensive) D2H + web push when the visible map did not change.
@@ -290,7 +358,8 @@ def _analyze_map(map_bgra: jnp.ndarray, grayscale: bool, with_isolated: bool, pa
         "lsd_mask": lsd_mask,  # u8 full mask, stays device-side for the march
         "lsd_bits": pack_bits(lsd_bool),
         "scales_bits": pack_bits(scales_bool),
-        "quiet_bits": pack_bits(_edgy_quiet(map_bgra)),
+        "quiet_bool": quiet_bool,
+        "quiet_bits": pack_bits(quiet_bool),
         "ocr_img": ocr_img,
     }
     if with_isolated:
@@ -315,20 +384,34 @@ def hostpack_layout(
     with_quiet: bool = True,
     crop_h: int | None = None,
     crop_w: int | None = None,
+    scales_inline: str = "none",
 ) -> dict:
     """Byte offsets of each section inside the packed buffer.
 
     v2 layout. `lsd_meta` = 6 x i32 (y0, y1, x0, x1, cy0, cx0): the exact
     dilated-mask bbox (end-exclusive; empty => y0 >= y1) plus the crop window
     origin. `lsd_crop` is the bit-packed (crop_h, crop_w) window of the mask.
-    with_ocr adds only the 4xu32 scales checksum — the OCR image and scales
-    binarize live in the separate lazily-fetched scalespack. with_quiet adds
-    the minimap quiet mask (the driver can run minimap detection every Nth
-    frame: its bounds only move on zoom changes)."""
+    with_ocr adds the 4xu32 scales checksum. with_quiet adds the 4xi32
+    minimap rect, computed on device by _minimap_rect (16 bytes instead of
+    the h*w/8-byte quiet mask a host-side walk would need; the driver can
+    still skip it every Nth frame — bounds only move on zoom changes).
+
+    scales_inline: the host link is ONE serial channel with ~25 ms latency
+    per transfer, so *where* the scales/OCR images travel is adaptive:
+      "none"   — checksum only; a changed checksum costs one lazy scalespack
+                 fetch (best when the map is static: zero bytes steady-state);
+      "gray"   — scales binarize bits + full grayscale OCR image inline (the
+                 map is panning and the engine reads gray levels: one fetch
+                 beats two);
+      "binary" — scales binarize bits + bit-packed OCR *text mask* inline
+                 (engines with binary_ok only threshold the image: 8x less).
+    """
     crop_h = map_h if crop_h is None else crop_h
     crop_w = map_w if crop_w is None else crop_w
+    brq_h, brq_w = map_h // 2, map_w // 2
     mask_bytes = map_h * ((map_w + 7) // 8)
     crop_bytes = crop_h * ((crop_w + 7) // 8)
+    brq_bits = brq_h * ((brq_w + 7) // 8)
     sections = [
         ("red_ratio", 4),
         ("ui_check", 8),
@@ -336,8 +419,12 @@ def hostpack_layout(
     ]
     if with_ocr:
         sections += [("scales_check", 16)]
+        if scales_inline == "binary":
+            sections += [("scales_bits", brq_bits), ("ocr_bits", brq_bits)]
+        elif scales_inline == "gray":
+            sections += [("scales_bits", brq_bits), ("ocr_img", brq_h * brq_w)]
     if with_quiet:
-        sections += [("quiet_bits", mask_bytes)]
+        sections += [("minimap_rect", 16)]
     sections += [("lsd_crop", crop_bytes)]
     layout = {}
     off = 0
@@ -346,6 +433,13 @@ def hostpack_layout(
         off += size
     layout["__total__"] = off
     return layout
+
+
+# Text threshold of the binary-capable OCR engines (smh_tpu/ocr/smhocr.py):
+# the preprocessed image is 255 background / inverted-luma text, and those
+# engines only evaluate `gray < OCR_BINARY_THRESHOLD` — so a bit mask of
+# that predicate is an exact transport. smhocr imports this constant.
+OCR_BINARY_THRESHOLD = 200
 
 
 def scalespack_layout(map_h: int, map_w: int) -> dict:
@@ -361,7 +455,14 @@ def scalespack_layout(map_h: int, map_w: int) -> dict:
 
 
 def _pack_outputs(
-    out: dict, red: jnp.ndarray, with_ocr: bool, with_quiet: bool, crop_h: int, crop_w: int
+    out: dict,
+    red: jnp.ndarray,
+    with_ocr: bool,
+    with_quiet: bool,
+    crop_h: int,
+    crop_w: int,
+    scales_inline: str = "none",
+    with_mask_output: bool = True,
 ) -> dict:
     map_h, map_w = out["lsd_bool"].shape
     y0, y1, x0, x1 = _mask_bbox(out["lsd_bool"])
@@ -378,18 +479,31 @@ def _pack_outputs(
     if with_ocr:
         scheck = jnp.concatenate([_weighted_check(out["scales_bits"]), _weighted_check(out["ocr_img"])])
         parts += [jax.lax.bitcast_convert_type(scheck, jnp.uint8).reshape(-1)]
+        if scales_inline == "binary":
+            parts += [
+                out["scales_bits"].reshape(-1),
+                pack_bits(out["ocr_img"] < jnp.uint8(OCR_BINARY_THRESHOLD)).reshape(-1),
+            ]
+        elif scales_inline == "gray":
+            parts += [out["scales_bits"].reshape(-1), out["ocr_img"].reshape(-1)]
     if with_quiet:
-        parts += [out["quiet_bits"].reshape(-1)]
+        rect = _minimap_rect(out["quiet_bool"])
+        parts += [jax.lax.bitcast_convert_type(rect, jnp.uint8).reshape(-1)]
     parts += [pack_bits(crop).reshape(-1)]
     pack = jnp.concatenate(parts)
 
+    # Only materialize device outputs a consumer can actually reach: every
+    # extra output is HBM writeback on each dispatch (the u8 full mask alone
+    # is h*w bytes). "lsd_mask" feeds the device ray-march engine and debug;
+    # the scalespack exists only for the lazy (inline="none") transport.
     res = {
         "hostpack": pack,
         "ui": out["ui"],
-        "lsd_mask": out["lsd_mask"],
         "lsd_bits": out["lsd_bits"],  # full mask: window-miss fallback fetch
     }
-    if with_ocr:
+    if with_mask_output:
+        res["lsd_mask"] = out["lsd_mask"]
+    if with_ocr and scales_inline == "none":
         res["scalespack"] = jnp.concatenate(
             [out["scales_bits"].reshape(-1), out["ocr_img"].reshape(-1)]
         )
@@ -401,6 +515,7 @@ def _pack_outputs(
     static_argnames=(
         "map_h", "map_w", "btn_h", "btn_w",
         "grayscale", "with_ocr", "with_quiet", "crop_h", "crop_w", "pallas",
+        "scales_inline", "with_mask_output",
     ),
 )
 def _analyze_packed_flat(
@@ -415,6 +530,8 @@ def _analyze_packed_flat(
     crop_h: int | None = None,
     crop_w: int | None = None,
     pallas: str = "off",
+    scales_inline: str = "none",
+    with_mask_output: bool = True,
 ):
     """The production dispatch: takes BOTH ROIs in one flat u8 upload (H2D is
     latency-bound like D2H: one transfer beats two); returns the hostpack
@@ -426,7 +543,10 @@ def _analyze_packed_flat(
     btn_bgra = rois[map_bytes : map_bytes + btn_h * btn_w * 4].reshape(btn_h, btn_w, 4)
     out = _analyze_map(map_bgra, grayscale=grayscale, with_isolated=False, pallas=pallas)
     red = _red_gate_roi(btn_bgra)
-    return _pack_outputs(out, red, with_ocr, with_quiet, crop_h, crop_w)
+    return _pack_outputs(
+        out, red, with_ocr, with_quiet, crop_h, crop_w, scales_inline,
+        with_mask_output=with_mask_output,
+    )
 
 
 @functools.partial(
@@ -455,6 +575,7 @@ def _analyze_packed(
     jax.jit,
     static_argnames=(
         "map_h", "map_w", "btn_h", "btn_w", "grayscale", "with_ocr", "crop_h", "crop_w",
+        "scales_inline",
     ),
 )
 def _analyze_batch_packed(
@@ -467,6 +588,7 @@ def _analyze_batch_packed(
     with_ocr: bool = True,
     crop_h: int | None = None,
     crop_w: int | None = None,
+    scales_inline: str = "none",
 ):
     """Batched fused pass: B frames in, ONE [B, pack_bytes] hostpack out.
 
@@ -487,15 +609,17 @@ def _analyze_batch_packed(
             with_ocr=with_ocr,
             crop_h=crop_h,
             crop_w=crop_w,
+            scales_inline=scales_inline,
+            with_mask_output=False,
         )
-        if with_ocr:
-            return out["hostpack"], out["lsd_mask"], out["lsd_bits"], out["scalespack"]
-        return out["hostpack"], out["lsd_mask"], out["lsd_bits"]
+        if with_ocr and scales_inline == "none":
+            return out["hostpack"], out["lsd_bits"], out["scalespack"]
+        return out["hostpack"], out["lsd_bits"]
 
     outs = jax.vmap(one)(rois)
-    res = {"hostpack": outs[0], "lsd_mask": outs[1], "lsd_bits": outs[2]}
-    if with_ocr:
-        res["scalespack"] = outs[3]
+    res = {"hostpack": outs[0], "lsd_bits": outs[1]}
+    if with_ocr and scales_inline == "none":
+        res["scalespack"] = outs[2]
     return res
 
 

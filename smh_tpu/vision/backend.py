@@ -10,7 +10,7 @@ errors are exceptions. Implemented by:
 Optional capabilities the driver probes with hasattr():
   * set_debug(bool)                — materialize debug intermediates
   * scales_enabled: bool           — OCR payload on/off (heightmap mode)
-  * minimap_quiet_map() -> array   — precomputed low-edginess mask
+  * minimap_rect() -> Rect|None    — device-computed minimap bounds
   * _find_longest_lines_batch(...) — batched seed marching
 """
 

@@ -115,6 +115,11 @@ class BatchPipeline:
             rois = np.concatenate([rois, np.zeros((self.batch - n, rois.shape[1]), np.uint8)])
 
         with_ocr = self.ocr_engine is not None
+        # Batch mode is one fetch per batch, so the scales/OCR images always
+        # ride inline (bit-packed for binary_ok engines).
+        inline = "none"
+        if with_ocr:
+            inline = "binary" if getattr(self.ocr_engine, "binary_ok", False) else "gray"
         out = ops_pipeline._analyze_batch_packed(
             jax.device_put(rois),
             map_h=g.map_h,
@@ -125,11 +130,12 @@ class BatchPipeline:
             with_ocr=with_ocr,
             crop_h=self.crop_h,
             crop_w=self.crop_w,
+            scales_inline=inline,
         )
         packs = np.asarray(out["hostpack"])  # ONE fetch for the whole batch
         layout = ops_pipeline.hostpack_layout(
             g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=True,
-            crop_h=self.crop_h, crop_w=self.crop_w,
+            crop_h=self.crop_h, crop_w=self.crop_w, scales_inline=inline,
         )
         eff_ch = g.map_h if self.crop_h is None else self.crop_h
         eff_cw = g.map_w if self.crop_w is None else self.crop_w
@@ -145,7 +151,6 @@ class BatchPipeline:
         active: list[int] = []
         meta = {}
         misses: list[int] = []
-        want_scales: list[int] = []
         for i in range(n):
             red = float(sect(i, "red_ratio").view(np.float32)[0])
             if red < C.CLOSE_DEPLOYMENT_BUTTON_RED_PIXEL_THRESHOLD:
@@ -162,8 +167,6 @@ class BatchPipeline:
             check = None
             if with_ocr:
                 check = tuple(int(v) for v in sect(i, "scales_check").view(np.uint32))
-                if check not in self._scales_cache:
-                    want_scales.append(i)
             meta[i] = (empty, fit, (cx0, cy0), check)
 
         # Window misses: ONE batched fetch of the full bit-masks involved.
@@ -173,11 +176,6 @@ class BatchPipeline:
             for k, i in enumerate(misses):
                 full_bits[i] = fetched[k]
 
-        # Scales: ONE batched scalespack fetch iff some checksum missed.
-        scalespacks = None
-        if want_scales:
-            scalespacks = np.asarray(out["scalespack"])
-        sp_layout = ops_pipeline.scalespack_layout(g.map_h, g.map_w) if with_ocr else None
 
         def host_stage(i: int) -> BatchResult:
             empty, fit, (cx0, cy0), check = meta[i]
@@ -193,20 +191,22 @@ class BatchPipeline:
                 ) * np.uint8(255)
                 markers = self._find_lines(full, (0, 0))
 
-            quiet = ops_pipeline.unpack_bits_host(
-                sect(i, "quiet_bits").reshape(g.map_h, mask_row), g.map_w
-            ).astype(bool)
-            minimap = fm.find_minimap_quiet(quiet)
+            l, t, r, b = (int(v) for v in sect(i, "minimap_rect").view(np.int32))
+            minimap = Rect(left=l, top=t, right=r, bottom=b) if g.map_w >= 3 and g.map_h >= 3 else None
 
             ratio = None
             if with_ocr:
                 if check in self._scales_cache:
                     ratio = self._scales_cache[check]
                 else:
-                    so, ss = sp_layout["scales_bits"]
-                    oo, os_ = sp_layout["ocr_img"]
-                    sp = scalespacks[i]
-                    ocr_img = sp[oo : oo + os_].reshape(g.brq_h, g.brq_w)
+                    brq_row = (g.brq_w + 7) // 8
+                    if inline == "binary":
+                        keep = ops_pipeline.unpack_bits_host(
+                            sect(i, "ocr_bits").reshape(g.brq_h, brq_row), g.brq_w
+                        )
+                        ocr_img = np.where(keep != 0, np.uint8(0), np.uint8(255))
+                    else:
+                        ocr_img = sect(i, "ocr_img").reshape(g.brq_h, g.brq_w)
                     with self._ocr_lock:  # engine singletons are not re-entrant
                         ocr_results = self.ocr_engine.read(ocr_img, None)
                     from .pipeline import _parse_scales
@@ -214,7 +214,7 @@ class BatchPipeline:
                     scales, start_y = _parse_scales(ocr_results)
                     if scales and start_y is not None:
                         scales_img = ops_pipeline.unpack_bits_host(
-                            sp[so : so + ss].reshape(g.brq_h, (g.brq_w + 7) // 8),
+                            sect(i, "scales_bits").reshape(g.brq_h, brq_row),
                             g.brq_w,
                         ) * np.uint8(255)
                         ratio = mpx.calc_meters_to_px_ratio(scales, scales_img)

@@ -192,6 +192,8 @@ class VisionState:
             backend.set_debug(self.debug_view != DebugView.NONE)
         if hasattr(backend, "scales_enabled"):
             backend.scales_enabled = self.ocr_engine is not None and not heightmaps.is_set()
+        if hasattr(backend, "scales_binary_ok"):
+            backend.scales_binary_ok = bool(getattr(self.ocr_engine, "binary_ok", False))
 
         frame_size = (frame.image.shape[1], frame.image.shape[0])
         self._frame_counter += 1
@@ -272,10 +274,10 @@ class VisionState:
             if not minimap_due and self._minimap_cache is not None:
                 results.minimap_bounds = self._minimap_cache[1]
             else:
-                quiet_fn = getattr(backend, "minimap_quiet_map", None)
-                quiet = quiet_fn() if callable(quiet_fn) else None
-                if quiet is not None:
-                    results.minimap_bounds = fm.find_minimap_quiet(quiet)
+                rect_fn = getattr(backend, "minimap_rect", None)
+                rect = rect_fn() if callable(rect_fn) else None
+                if rect is not None:
+                    results.minimap_bounds = rect
                 else:
                     cpu_frame = backend.get_cpu_frame()
                     results.minimap_bounds = fm.find_minimap(cpu_frame[y : y + h, x : x + w])

@@ -50,6 +50,9 @@ _MIN_WINDOWED_MASK_BYTES = 16 * 1024
 _RUNG_SLACK = 64
 # Consecutive comfortably-fitting frames before the window shrinks a rung.
 _SHRINK_AFTER = 30
+# Consecutive unchanged scales checksums before the scales/OCR images drop
+# out of the inline hostpack (static map -> checksum-only transport).
+_INLINE_STABLE_AFTER = 3
 
 
 def _lsd_ladder(map_h: int, map_w: int) -> list[tuple[int, int]]:
@@ -70,6 +73,7 @@ class TpuBackend:
         for this scalar-chasing workload (SURVEY.md section 7 "hard parts")."""
         self.frame_np: Optional[np.ndarray] = None
         self.rois_dev: Optional[jax.Array] = None  # packed map+btn ROI upload
+        self._staging: Optional[np.ndarray] = None  # reused host upload buffer
         self.geom: Optional[C.MapGeometry] = None
         self._results: Optional[dict] = None
         self._lsd_crop_host: Optional[np.ndarray] = None  # u8 0/255 crop
@@ -77,7 +81,7 @@ class TpuBackend:
         self._march_max_len: Optional[float] = None  # bbox diag bound
         self._debug = False
         self._grayscale = True
-        self._dispatch_flags: tuple = (True, True, True, None, None, "off")
+        self._dispatch_flags: tuple = (True, True, True, None, None, "off", "gray")
         self._host: Optional[dict] = None  # parsed hostpack sections
         self._scalespack_host: Optional[np.ndarray] = None
         self._ui_check: Optional[tuple] = None
@@ -89,6 +93,17 @@ class TpuBackend:
         # The driver disables this when a heightmap supplies distances or no
         # OCR engine exists: the OCR image then never leaves the device.
         self.scales_enabled = True
+        # Engines that only threshold the OCR image (binary_ok) receive it as
+        # a bit-packed text mask: 8x less D2H, exact (ops/pipeline.py).
+        self.scales_binary_ok = False
+        # Adaptive transport for the scales/OCR images: while their checksum
+        # keeps changing (map panning) they ride INLINE in the single
+        # hostpack fetch; after _INLINE_STABLE_AFTER unchanged frames they
+        # drop to checksum-only (zero bytes; a later change costs one lazy
+        # scalespack fetch and flips back to inline).
+        self._scales_inline = True
+        self._scales_last_check = None
+        self._scales_stable = 0
         # Minimap quiet mask cadence: the driver may skip it on frames where
         # it reuses cached minimap bounds (bounds only move on zoom changes).
         self.quiet_enabled = True
@@ -119,12 +134,18 @@ class TpuBackend:
         self.frame_np = frame_bgra
         # Upload only the ROIs the pipeline reads (map + close-button), as
         # ONE flat buffer: ~2.3x less H2D than the whole frame, and a single
-        # latency-bound transfer instead of two.
+        # latency-bound transfer instead of two. The staging buffer is reused
+        # across frames, and the ROI copy goes through shaped assignment —
+        # assigning a strided view via reshape(-1) hits a ~100 MB/s numpy
+        # slow path (~130 ms at 4K); the shaped copy is row-wise memcpy.
         map_roi = frame_bgra[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w]
         btn_roi = frame_bgra[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w]
-        packed = np.empty(map_roi.size + btn_roi.size, dtype=np.uint8)
-        packed[: map_roi.size] = map_roi.reshape(-1)
-        packed[map_roi.size :] = btn_roi.reshape(-1)
+        total = map_roi.size + btn_roi.size
+        if self._staging is None or self._staging.size != total:
+            self._staging = np.empty(total, dtype=np.uint8)
+        packed = self._staging
+        packed[: map_roi.size].reshape(map_roi.shape)[...] = map_roi
+        packed[map_roi.size :].reshape(btn_roi.shape)[...] = btn_roi
         self.rois_dev = jax.device_put(packed)
         self._results = None
         self._host = None
@@ -188,6 +209,12 @@ class TpuBackend:
         g = self.geom
         crop_h, crop_w = self._crop_size()
         pallas = ops_pipeline.pallas_mode()
+        if not self.scales_enabled or not self._scales_inline:
+            inline = "none"
+        elif self.scales_binary_ok:
+            inline = "binary"
+        else:
+            inline = "gray"
         self._dispatch_flags = (
             self.scales_enabled,
             self.quiet_enabled,
@@ -195,6 +222,7 @@ class TpuBackend:
             crop_h,
             crop_w,
             pallas,
+            inline,
         )
         self._results = ops_pipeline._analyze_packed_flat(
             self.rois_dev,
@@ -208,6 +236,8 @@ class TpuBackend:
             crop_h=crop_h,
             crop_w=crop_w,
             pallas=pallas,
+            scales_inline=inline,
+            with_mask_output=(self.lsd_engine != "native") or self._debug,
         )
 
     def snapshot_job(self) -> dict:
@@ -247,11 +277,11 @@ class TpuBackend:
         if self._results is None or self._grayscale != grayscale:
             self._grayscale = grayscale
             self.dispatch()
-        with_ocr, with_quiet, _, crop_h, crop_w, _ = self._dispatch_flags
+        with_ocr, with_quiet, _, crop_h, crop_w, _, inline = self._dispatch_flags
         pack = np.asarray(self._results["hostpack"])
         layout = ops_pipeline.hostpack_layout(
             g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=with_quiet,
-            crop_h=crop_h, crop_w=crop_w,
+            crop_h=crop_h, crop_w=crop_w, scales_inline=inline,
         )
         eff_ch = g.map_h if crop_h is None else crop_h
         eff_cw = g.map_w if crop_w is None else crop_w
@@ -272,9 +302,27 @@ class TpuBackend:
             "lsd_bbox": (y0, y1, x0, x1),
         }
         if with_ocr:
-            self._host["scales_check"] = tuple(int(v) for v in sect("scales_check").view(np.uint32))
+            check = tuple(int(v) for v in sect("scales_check").view(np.uint32))
+            self._host["scales_check"] = check
+            brq_row = (g.brq_w + 7) // 8
+            if inline in ("binary", "gray"):
+                self._host["scales_bits_inline"] = sect("scales_bits").reshape(g.brq_h, brq_row)
+                if inline == "binary":
+                    self._host["ocr_bits_inline"] = sect("ocr_bits").reshape(g.brq_h, brq_row)
+                else:
+                    self._host["ocr_img_inline"] = sect("ocr_img").reshape(g.brq_h, g.brq_w)
+            # Transport adaptation: unchanged checksums (static map) drop the
+            # inline images from future packs; any change flips them back in.
+            if check == self._scales_last_check:
+                self._scales_stable += 1
+                if self._scales_stable >= _INLINE_STABLE_AFTER:
+                    self._scales_inline = False
+            else:
+                self._scales_last_check = check
+                self._scales_stable = 0
+                self._scales_inline = True
         if with_quiet:
-            self._host["quiet_bits"] = sect("quiet_bits").reshape(g.map_h, mask_row)
+            self._host["minimap_rect"] = tuple(int(v) for v in sect("minimap_rect").view(np.int32))
 
         empty = y0 >= y1 or x0 >= x1
         if empty:
@@ -345,11 +393,19 @@ class TpuBackend:
 
         return fetch_ui_map, (g.map_x, g.map_y, g.map_w, g.map_h)
 
-    def minimap_quiet_map(self) -> Optional[np.ndarray]:
-        """Low-edginess mask from the fused pass (find_minimap fast path)."""
-        if self._host is None or self.geom is None or "quiet_bits" not in self._host:
+    def minimap_rect(self):
+        """Minimap bounds computed ON DEVICE in the fused pass (16 bytes in
+        the hostpack; the reference re-walks the CPU frame every frame,
+        src/vision/find_minimap.rs:48-146). Returns a Rect, or None when the
+        dispatch skipped it (quiet_enabled=False / map too small)."""
+        from ..geometry import Rect
+
+        if self._host is None or self.geom is None or "minimap_rect" not in self._host:
             return None
-        return ops_pipeline.unpack_bits_host(self._host["quiet_bits"], self.geom.map_w).astype(bool)
+        if self.geom.map_w < 3 or self.geom.map_h < 3:
+            return None
+        l, t, r, b = self._host["minimap_rect"]
+        return Rect(left=l, top=t, right=r, bottom=b)
 
     # -- scales branch (lazy, checksum-gated) ----------------------------------
 
@@ -383,9 +439,27 @@ class TpuBackend:
         if self._host is None or "scales_check" not in self._host:
             return None
         g = self.geom
+        host = self._host
+        brq_h, brq_w = g.brq_h, g.brq_w
+
+        if "scales_bits_inline" in host:
+            # Inline transport: both images are already on the host — the
+            # "fetch" is pure unpacking, zero extra D2H.
+            sb = host["scales_bits_inline"]
+            ob = host.get("ocr_bits_inline")
+            oi = host.get("ocr_img_inline")
+
+            def fetch_inline() -> tuple[np.ndarray, np.ndarray]:
+                scales_img = ops_pipeline.unpack_bits_host(sb, brq_w) * np.uint8(255)
+                if oi is not None:
+                    return oi, scales_img
+                keep = ops_pipeline.unpack_bits_host(ob, brq_w)
+                return np.where(keep != 0, np.uint8(0), np.uint8(255)), scales_img
+
+            return {"check": host["scales_check"], "fetch": fetch_inline}
+
         results = self._results
         layout = ops_pipeline.scalespack_layout(g.map_h, g.map_w)
-        brq_h, brq_w = g.brq_h, g.brq_w
 
         def fetch() -> tuple[np.ndarray, np.ndarray]:
             pack = np.asarray(results["scalespack"])
@@ -400,11 +474,19 @@ class TpuBackend:
             ocr_img = pack[oo : oo + os_].reshape(brq_h, brq_w)
             return ocr_img, scales_img
 
-        return {"check": self._host["scales_check"], "fetch": fetch}
+        return {"check": host["scales_check"], "fetch": fetch}
 
     def ocr_preprocess(self) -> np.ndarray:
         assert self.geom is not None
         g = self.geom
+        host = self._host or {}
+        if "ocr_img_inline" in host:
+            return host["ocr_img_inline"]
+        if "ocr_bits_inline" in host:
+            # Binary transport: reconstruct a 0/255 image — exact for engines
+            # that only threshold (binary_ok), which is what selected it.
+            keep = ops_pipeline.unpack_bits_host(host["ocr_bits_inline"], g.brq_w)
+            return np.where(keep != 0, np.uint8(0), np.uint8(255))
         layout = ops_pipeline.scalespack_layout(g.map_h, g.map_w)
         off, size = layout["ocr_img"]
         return self._fetch_scalespack()[off : off + size].reshape(g.brq_h, g.brq_w)
@@ -413,6 +495,9 @@ class TpuBackend:
         """Returns the binarized BRQ as 0/255 u8 (bit-unpacked)."""
         assert self.geom is not None
         g = self.geom
+        host = self._host or {}
+        if "scales_bits_inline" in host:
+            return ops_pipeline.unpack_bits_host(host["scales_bits_inline"], g.brq_w) * np.uint8(255)
         layout = ops_pipeline.scalespack_layout(g.map_h, g.map_w)
         off, size = layout["scales_bits"]
         bits = self._fetch_scalespack()[off : off + size].reshape(g.brq_h, (g.brq_w + 7) // 8)
@@ -507,12 +592,18 @@ class TpuBackend:
             out[..., 3] = 255
             return out
 
+        host = self._host or {}
+        scales_avail = (
+            "scalespack" in self._results
+            or "ocr_img_inline" in host
+            or "ocr_bits_inline" in host
+        )
         if choice == DebugView.OCR_INPUT:
-            if self._results.get("scalespack") is None:
+            if not scales_avail:
                 return None
             return gray_rgba(self.ocr_preprocess())
         if choice == DebugView.FIND_SCALES_INPUT:
-            if self._results.get("scalespack") is None:
+            if not scales_avail:
                 return None
             return gray_rgba(self.find_scales_preprocess(0))
         if choice == DebugView.LSD_INPUT:

@@ -53,3 +53,32 @@ def test_fast_walk_matches_oracle_real_sample():
     q = np.asarray(opp._edgy_quiet(jax.numpy.asarray(view)))
     fast = fm.find_minimap_quiet(q)
     assert slow == fast
+
+
+def test_device_minimap_rect_matches_host_walk():
+    """ops/pipeline._minimap_rect (device, in-pack) must equal the host walk
+    find_minimap_quiet on arbitrary quiet masks (both port
+    find_minimap.rs:48-146)."""
+    import jax
+    import numpy as np
+
+    from smh_tpu.ops import pipeline as ops_pipeline
+    from smh_tpu.vision import find_minimap as fm
+
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        h = int(rng.integers(24, 180))
+        w = int(rng.integers(24, 220))
+        density = rng.uniform(0.3, 0.95)
+        quiet = rng.random((h, w)) < density
+        # Sometimes add a clean minimap-like quiet rectangle around centre.
+        if trial % 3 == 0:
+            cy, cx = h // 2, w // 2
+            quiet[max(0, cy - h // 4) : cy + h // 4, max(0, cx - w // 4) : cx + w // 4] = True
+
+        host = fm.find_minimap_quiet(quiet)
+        dev = np.asarray(ops_pipeline._minimap_rect(jax.numpy.asarray(quiet)))
+        assert host is not None
+        got = (int(dev[0]), int(dev[1]), int(dev[2]), int(dev[3]))
+        want = (host.left, host.top, host.right, host.bottom)
+        assert got == want, f"trial {trial} {h}x{w} d={density:.2f}: {got} != {want}"

@@ -102,7 +102,14 @@ def test_empty_mask_detects_nothing_and_shrinks_payload():
     assert y0 >= y1  # device reported an empty bbox
 
 
-def test_scales_fetch_is_checksum_gated():
+def test_scales_transport_adapts_inline_to_checksum_only():
+    """Lifecycle of the adaptive scales transport: images ride inline in the
+    single hostpack fetch while changing (no separate scalespack fetch);
+    after _INLINE_STABLE_AFTER unchanged checksums they drop out of the pack
+    (checksum-only, ratio from cache); a change then costs ONE lazy
+    scalespack fetch and flips inline back on."""
+    from smh_tpu.vision import tpu_backend as tb
+
     ocr = FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)])
     state = VisionState(settings=Settings(path=None), ocr_engine=ocr)
     state.settings.set("hardware_acceleration", True)
@@ -111,22 +118,29 @@ def test_scales_fetch_is_checksum_gated():
     be = state.delegate.backend
     assert isinstance(be, TpuBackend)
     assert r1 is not None and r1.meters_to_px_ratio is not None
-    fetches_after_first = be.stats["scalespack_fetches"]
-    assert fetches_after_first == 1
+    # FakeOcrEngine is binary_ok: the OCR section travels as a bit mask.
+    assert be._dispatch_flags[6] == "binary"
+    assert be.stats["scalespack_fetches"] == 0  # inline: no separate fetch
 
     # Same BRQ content (marker moved in the top-left of the map only):
-    # checksum unchanged -> ratio served from cache, NO scalespack fetch.
-    r2 = state.process(Frame(small_lines_frame(7), 96))
-    assert r2 is not None and r2.meters_to_px_ratio == r1.meters_to_px_ratio
-    assert be.stats["scalespack_fetches"] == fetches_after_first
+    # checksum unchanged -> ratio from cache; after the stability streak the
+    # pack drops the inline sections.
+    for off in range(1, tb._INLINE_STABLE_AFTER + 2):
+        r = state.process(Frame(small_lines_frame(off), 96))
+        assert r is not None and r.meters_to_px_ratio == r1.meters_to_px_ratio
+    assert be._dispatch_flags[6] == "none"  # checksum-only transport now
+    assert be.stats["scalespack_fetches"] == 0  # still zero D2H for scales
 
-    # Perturb the BRQ -> checksum changes -> one more fetch.
-    f3 = small_lines_frame(7)
+    # Perturb the BRQ -> checksum changes -> one lazy scalespack fetch, and
+    # the transport flips back to inline for the next frame.
+    f3 = small_lines_frame(1)
     g = C.map_geometry(W, H)
     f3[g.brq_y + 300 : g.brq_y + 310, g.brq_x + 300 : g.brq_x + 340, :3] = 255
     r3 = state.process(Frame(f3, 96))
     assert r3 is not None and r3.meters_to_px_ratio == r1.meters_to_px_ratio
-    assert be.stats["scalespack_fetches"] == fetches_after_first + 1
+    assert be.stats["scalespack_fetches"] == 1
+    state.process(Frame(small_lines_frame(2), 96))
+    assert be._dispatch_flags[6] == "binary"
     state.close()
 
 
@@ -190,3 +204,54 @@ def test_rung_shrinks_after_streak():
         be.dispatch()
         be.crop_to_map(True)
     assert be._rung == 1  # one rung at a time after a sustained streak
+
+
+def test_binary_ocr_threshold_matches_smhocr():
+    """The device bit-packs `ocr_img < OCR_BINARY_THRESHOLD`; smhocr
+    thresholds with TEXT_THRESHOLD. They must agree or binary transport
+    would not be exact for it."""
+    from smh_tpu.ocr import smhocr
+    from smh_tpu.ops import pipeline as ops_pipeline
+
+    assert ops_pipeline.OCR_BINARY_THRESHOLD == smhocr.TEXT_THRESHOLD
+
+
+def test_binary_transport_reads_identically_with_smhocr():
+    """smhocr over the reconstructed 0/255 image == smhocr over the true
+    grayscale OCR image (it only thresholds)."""
+    pytest.importorskip("scipy")
+    from smh_tpu.ocr.smhocr import SmhOcrEngine
+    from smh_tpu.vision.reference import ReferenceBackend
+
+    frame = testing.make_frame(
+        W, H, scale_bars=[(60, 200, 120, 1)], scale_texts=[("300m", (80, 170))]
+    ) if "scale_texts" in testing.make_frame.__code__.co_varnames else None
+    if frame is None:
+        # testing.make_frame has no text renderer: use a real corpus sample.
+        import pathlib
+
+        sample = pathlib.Path("/root/reference/vision-common/samples/full.jpg")
+        if not sample.is_file():
+            pytest.skip("no corpus available")
+        from smh_tpu.squadex.capture import load_frame_bgra
+
+        frame = load_frame_bgra(str(sample))
+
+    ref = ReferenceBackend()
+    ref.load_frame(frame)
+    if ref.crop_to_map(True) is None:
+        pytest.skip("sample sleeping")
+    gray = ref.ocr_preprocess()
+
+    import numpy as np
+
+    from smh_tpu.ops import pipeline as ops_pipeline
+
+    binary = np.where(gray < ops_pipeline.OCR_BINARY_THRESHOLD, np.uint8(0), np.uint8(255))
+    eng = SmhOcrEngine()
+    a = eng.read(gray)
+    b = eng.read(binary)
+    assert [(r.text, r.left, r.top, r.right, r.bottom) for r in a] == [
+        (r.text, r.left, r.top, r.right, r.bottom) for r in b
+    ]
+    assert a, "sample must contain readable text for this test to mean anything"

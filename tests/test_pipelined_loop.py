@@ -87,7 +87,7 @@ def test_pipelined_with_minimap_cadence():
     updates = []
     cap = CaptureThread(Cycle(frames), hz=120).start()
     loop = VisionLoop(state, cap, lambda r, d: updates.append(r), fps=120, pipelined=True).start()
-    deadline = time.time() + 60
+    deadline = time.time() + 150  # generous: CPU jit compiles under load
     while len(updates) < 8 and time.time() < deadline:
         time.sleep(0.05)
     loop.stop()
