@@ -48,10 +48,27 @@ class App:
         serve: bool = True,
         pipelined: bool = False,
         debug_web: bool = False,
+        scales_async: bool = False,
+        paks: Optional[list[str]] = None,
+        aes: Optional[str] = None,
+        ripper_exe: Optional[str] = None,
+        cache_dir: str = "heightmaps",
     ) -> None:
         self.settings = settings or Settings()
         self.ocr_engine = ocr_engine if ocr_engine is not None else tesseract.create_default_engine()
-        self.state = VisionState(settings=self.settings, ocr_engine=self.ocr_engine)
+        # --debug-web collects per-frame OCR boxes + scale overlays for the
+        # client debug surface (the reference's debug UI recomputes them the
+        # same way while open, src/ui/debug.rs:288-345).
+        self.state = VisionState(
+            settings=self.settings,
+            ocr_engine=self.ocr_engine,
+            collect_debug_overlays=debug_web,
+            scales_async=scales_async and not debug_web,
+        )
+        self.paks = paks or []
+        self.aes = aes
+        self.ripper_exe = ripper_exe
+        self.cache_dir = cache_dir
         self.capture = CaptureThread(source)
         self.loop = VisionLoop(self.state, self.capture, self._on_update, pipelined=pipelined)
         self.web = WebServer(port=port) if serve else None
@@ -68,6 +85,7 @@ class App:
             # when no new frames arrive (static --image sources): the
             # reference wakes its UI loop the same way (web/src/ws.rs:60-74).
             self.web.on_interaction = self._drain_interactions
+            self.web.api_handler = self._api
         self._last_map_id: int = 0
 
     # -- vision -> web push (src/ui/map.rs:222-233, state.rs:81-88) ---------
@@ -99,14 +117,34 @@ class App:
             now = _time.time()
             fps = 1.0 / (now - self._last_update_ts) if self._last_update_ts else 0.0
             self._last_update_ts = now
-            self.web.send_debug(
-                {
-                    "fps": round(fps, 2),
-                    "backend": self.state.delegate.backend.name if self.state.delegate.backend else "?",
-                    "timeshares_ms": {k: round(v * 1000, 2) for k, v in debug.timeshares.as_dict().items()},
-                    "markers": len(results.markers),
-                }
-            )
+            backend = self.state.delegate.backend
+            payload = {
+                "fps": round(fps, 2),
+                "backend": backend.name if backend else "?",
+                "timeshares_ms": {k: round(v * 1000, 2) for k, v in debug.timeshares.as_dict().items()},
+                "markers": len(results.markers),
+                # OCR boxes + scale-bar overlays in map-ROI coordinates
+                # (src/ui/debug.rs:288-317).
+                "ocr": [
+                    {"text": o.text, "conf": round(o.confidence, 1),
+                     "l": o.left, "t": o.top, "r": o.right, "b": o.bottom}
+                    for o in debug.ocr
+                ],
+                "scales": [
+                    {"m": m, "x0": l.p0.x, "y0": l.p0.y, "x1": l.p1.x, "y1": l.p1.y}
+                    for m, l in debug.scales
+                ],
+            }
+            stats = getattr(backend, "stats", None)
+            if stats:
+                payload["stats"] = dict(stats)
+            host = getattr(backend, "_host", None)
+            if host and "lsd_bbox" in host:
+                payload["lsd_bbox"] = list(host["lsd_bbox"])
+                payload["lsd_window"] = list(host.get("lsd_offset", (0, 0))) + list(
+                    host.get("lsd_crop_shape", (0, 0))[::-1]
+                )
+            self.web.send_debug(payload)
 
     def _on_client_connect(self) -> None:
         """A viewer just joined: materialize and push the current map."""
@@ -131,10 +169,109 @@ class App:
                     if 0 <= inter.index < len(self.custom_markers):
                         self.custom_markers.pop(inter.index)
                         changed = True
+                elif isinstance(inter, protocol.InspectPixel):
+                    self._inspect_pixel(inter.x, inter.y)
         if changed:
             with self._lock:
                 markers = list(self.custom_markers)
             self.web.send_markers(markers, custom=True)
+
+    def _inspect_pixel(self, x: int, y: int) -> None:
+        """Pixel inspector (src/ui/debug.rs:350-475): HSV + per-fireteam
+        predicate breakdown for a map-ROI pixel, pushed as event 101."""
+        if self.web is None:
+            return
+        try:
+            backend = self.state.delegate.backend
+            frame = getattr(backend, "frame_np", None) if backend is not None else None
+            if frame is None:
+                return  # no frame processed yet
+            g = C.map_geometry(frame.shape[1], frame.shape[0])
+            if not (0 <= x < g.map_w and 0 <= y < g.map_h):
+                return
+            b, gr, r = (int(v) for v in frame[g.map_y + y, g.map_x + x, :3])
+            from .vision.inspect import inspect_pixel
+
+            ins = inspect_pixel(r, gr, b)
+            self.web.send_inspect(
+                {
+                    "x": x, "y": y,
+                    "rgb": list(ins.rgb), "h": ins.h, "s": ins.s, "v": ins.v,
+                    "min_sat_ok": ins.min_sat_ok,
+                    "is_marker": ins.is_marker,
+                    "fireteams": {
+                        name: {"hue": ft.hue_ok, "sat": ft.sat_ok, "vib": ft.vib_ok,
+                               "passed": ft.passed}
+                        for name, ft in ins.fireteams.items()
+                    },
+                }
+            )
+        except Exception:
+            log.exception("pixel inspection failed")
+
+    # -- heightmap browser HTTP API (src/ui/heightmaps.rs:254-321,413-792) ----
+
+    def _api(self, path: str, query: dict) -> tuple[int, object]:
+        import pathlib
+
+        from .heightmaps import browser, ripper
+        from .squadex import heightmaps as hms
+
+        if path == "/api/status":
+            hm = hm_store.get_current()
+            backend = self.state.delegate.backend
+            return 200, {
+                "heightmap": None if hm is None else {"w": hm.width, "h": hm.height},
+                "fit_to_minimap": self.fit_to_minimap,
+                "clients": self.web.num_clients() if self.web else 0,
+                "backend": backend.name if backend else None,
+                "paks_configured": bool(self.paks),
+            }
+        if path == "/api/heightmaps/cached":
+            d = pathlib.Path(self.cache_dir)
+            files = sorted(p.name for p in d.glob("*.smhhm")) if d.is_dir() else []
+            return 200, {"files": files}
+        if path == "/api/heightmaps/layers":
+            if not self.paks:
+                return 400, {"error": "no --paks configured"}
+            exe = self.ripper_exe or ripper.DEFAULT_EXE
+            try:
+                layers = ripper.list_maps(self.paks, self.aes, exe=exe)
+            except Exception as e:
+                return 500, {"error": str(e)}
+            return 200, {"layers": layers}
+        if path == "/api/heightmaps/select":
+            layer = query.get("layer")
+            fname = query.get("file")
+            hm = None
+            if fname:
+                fp = pathlib.Path(self.cache_dir) / pathlib.Path(fname).name
+                if not fp.is_file():
+                    return 404, {"error": f"{fname} not cached"}
+                hm = hms.load_smhhm(fp)
+            elif layer:
+                if not self.paks:
+                    return 400, {"error": "no --paks configured"}
+                exe = self.ripper_exe or ripper.DEFAULT_EXE
+                try:
+                    hm = browser.load_or_rip(
+                        layer, self.paks, self.aes, cache_dir=self.cache_dir, exe=exe
+                    )
+                except Exception as e:
+                    return 500, {"error": str(e)}
+            else:
+                return 400, {"error": "need ?layer= or ?file="}
+            if hm is None:
+                return 404, {"error": "layer has no heightmap"}
+            self.select_heightmap(hm)
+            return 200, {"ok": True, "w": hm.width, "h": hm.height}
+        if path == "/api/heightmaps/deselect":
+            self.select_heightmap(None)
+            return 200, {"ok": True}
+        if path == "/api/fit":
+            self.set_fit_to_minimap(query.get("on", "0") in ("1", "true"))
+            return 200, {"ok": True, "fit_to_minimap": self.fit_to_minimap}
+        return 404, {"error": f"unknown endpoint {path}"}
 
     # -- heightmap selection (src/ui/heightmaps.rs:590-593) ------------------
 
@@ -206,7 +343,12 @@ def main(argv=None) -> int:
              "current frame's result processing (+1 frame latency, ~25%% more fps)",
     )
     ap.add_argument("--debug-web", action="store_true",
-                    help="broadcast fps/timeshare telemetry to web clients (event id 100)")
+                    help="broadcast debug telemetry to web clients (event id 100): "
+                         "fps, per-stage timeshares, OCR boxes, scale overlays")
+    ap.add_argument("--sync-scales", action="store_true",
+                    help="join the scales branch every frame like the reference "
+                         "(default: async — markers publish immediately, the ratio "
+                         "lags <=1 frame; it only changes on zoom)")
     ap.add_argument(
         "--warmup", action="store_true",
         help="pre-compile the common resolution buckets before serving "
@@ -270,6 +412,8 @@ def main(argv=None) -> int:
     app = App(
         _build_source(args), settings=settings, port=args.port,
         serve=not args.no_web, pipelined=args.pipelined, debug_web=args.debug_web,
+        scales_async=not args.sync_scales,
+        paks=args.paks, aes=args.aes, ripper_exe=args.ripper, cache_dir=args.cache_dir,
     )
 
     if args.heightmap:

@@ -15,6 +15,16 @@ Wire format (little-endian, u16 event id prefix) mirrors
 Client->server interactions (lib.rs:33-72):
   AddCustomMarker(1):    4 f32
   DeleteCustomMarker(2): u32
+
+smh_tpu extensions (ids chosen far above the reference's; unknown ids are
+ignorable by either peer):
+  InspectPixel(3):       2 u32 map-ROI coords -> server replies with
+                         Inspect(101), the pixel-inspector breakdown the
+                         reference renders in its debug UI
+                         (src/ui/debug.rs:350-475)
+  Debug(100):            JSON telemetry (fps, timeshares, OCR boxes, scale
+                         overlays) when --debug-web is on
+  Inspect(101):          JSON pixel inspection reply
 """
 
 from __future__ import annotations
@@ -37,9 +47,11 @@ EVENT_FIT_TO_MINIMAP = 5
 # debug telemetry — fps, per-stage timeshares, backend name. Sent only when
 # enabled; clients that don't know the id can ignore it.
 EVENT_DEBUG = 100
+EVENT_INSPECT = 101
 
 INTERACTION_ADD_CUSTOM_MARKER = 1
 INTERACTION_DELETE_CUSTOM_MARKER = 2
+INTERACTION_INSPECT_PIXEL = 3
 
 
 def encode_map(map_rgba: np.ndarray) -> bytes:
@@ -93,6 +105,12 @@ def encode_debug(payload: dict) -> bytes:
     return struct.pack("<H", EVENT_DEBUG) + json.dumps(payload).encode()
 
 
+def encode_inspect(payload: dict) -> bytes:
+    import json
+
+    return struct.pack("<H", EVENT_INSPECT) + json.dumps(payload).encode()
+
+
 @dataclasses.dataclass(frozen=True)
 class AddCustomMarker:
     p0: tuple[float, float]
@@ -104,7 +122,13 @@ class DeleteCustomMarker:
     index: int
 
 
-Interaction = Union[AddCustomMarker, DeleteCustomMarker]
+@dataclasses.dataclass(frozen=True)
+class InspectPixel:
+    x: int
+    y: int  # map-ROI coordinates
+
+
+Interaction = Union[AddCustomMarker, DeleteCustomMarker, InspectPixel]
 
 
 def decode_interaction(data: bytes) -> Optional[Interaction]:
@@ -123,4 +147,9 @@ def decode_interaction(data: bytes) -> Optional[Interaction]:
             return None
         (idx,) = struct.unpack("<I", body)
         return DeleteCustomMarker(idx)
+    if kind == INTERACTION_INSPECT_PIXEL:
+        if len(body) != 8:
+            return None
+        x, y = struct.unpack("<II", body)
+        return InspectPixel(x, y)
     return None

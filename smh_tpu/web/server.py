@@ -76,6 +76,9 @@ class WebServer:
         self._stop_event: Optional[asyncio.Event] = None
         self.on_interaction = None  # optional callback (app wake)
         self.on_client_connect = None  # optional callback (push fresh state)
+        # Optional HTTP API handler: (path, query: dict) -> (status, obj).
+        # Runs in an executor (handlers may spawn ripper subprocesses).
+        self.api_handler = None
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -141,6 +144,10 @@ class WebServer:
         """Opt-in telemetry (event id 100; not part of the reference wire
         protocol; unknown ids are ignorable by clients)."""
         self._broadcast(protocol.encode_debug(payload))
+
+    def send_inspect(self, payload: dict) -> None:
+        """Pixel-inspector reply (event id 101, smh_tpu extension)."""
+        self._broadcast(protocol.encode_inspect(payload))
 
     def recv(self) -> Optional[protocol.Interaction]:
         try:
@@ -221,22 +228,52 @@ class WebServer:
             sender_task.cancel()
             log.info("WebSocket connection closed with %s", websocket.remote_address)
 
-    def _http_response(self) -> bytes:
+    @staticmethod
+    def _http_head(status: int, ctype: str, body: bytes) -> bytes:
+        reason = {200: "OK", 400: "Bad Request", 404: "Not Found", 500: "Internal Server Error"}.get(status, "OK")
+        return (
+            f"HTTP/1.1 {status} {reason}\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            f"Content-Type: {ctype}\r\n"
+            "Connection: Closed\r\n\r\n"
+        ).encode()
+
+    def _index_response(self) -> bytes:
         html = (WWW / "index.html").read_text()
         html = html.replace("{{ WEBSOCKET_PORT }}", str(self.ws_port))
         body = html.encode()
-        head = (
-            "HTTP/1.1 200 OK\r\n"
-            f"Content-Length: {len(body)}\r\n"
-            "Content-Type: text/html; charset=utf-8\r\n"
-            "Connection: Closed\r\n\r\n"
-        ).encode()
-        return head + body
+        return self._http_head(200, "text/html; charset=utf-8", body) + body
+
+    async def _api_response(self, path: str, query: dict) -> bytes:
+        import json
+
+        if self.api_handler is None:
+            body = json.dumps({"error": "no api handler"}).encode()
+            return self._http_head(404, "application/json", body) + body
+        try:
+            status, obj = await asyncio.get_running_loop().run_in_executor(
+                None, self.api_handler, path, query
+            )
+        except Exception as e:  # handler bugs must not kill the server
+            log.exception("api handler failed for %s", path)
+            status, obj = 500, {"error": str(e)}
+        body = json.dumps(obj).encode()
+        return self._http_head(status, "application/json", body) + body
 
     async def _http_handler(self, reader, writer) -> None:
         try:
-            await asyncio.wait_for(reader.readline(), timeout=SEND_TIMEOUT)
-            writer.write(self._http_response())
+            line = await asyncio.wait_for(reader.readline(), timeout=SEND_TIMEOUT)
+            parts = line.decode("latin-1").split()
+            target = parts[1] if len(parts) >= 2 else "/"
+            if target.startswith("/api/"):
+                from urllib.parse import parse_qsl, unquote, urlsplit
+
+                sp = urlsplit(target)
+                query = dict(parse_qsl(sp.query))
+                resp = await self._api_response(unquote(sp.path), query)
+            else:
+                resp = self._index_response()
+            writer.write(resp)
             await asyncio.wait_for(writer.drain(), timeout=SEND_TIMEOUT)
         except Exception:
             pass

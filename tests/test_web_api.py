@@ -1,0 +1,220 @@
+"""Round-2 web surface: HTTP API routing, heightmap browser endpoints,
+pixel-inspector interaction, extended debug telemetry."""
+
+import json
+import struct
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from smh_tpu.web import protocol
+
+
+def get_json(url):
+    return json.loads(urllib.request.urlopen(url, timeout=5).read().decode())
+
+
+def test_decode_inspect_interaction():
+    inter = protocol.decode_interaction(struct.pack("<HII", 3, 40, 50))
+    assert isinstance(inter, protocol.InspectPixel)
+    assert (inter.x, inter.y) == (40, 50)
+    assert protocol.decode_interaction(struct.pack("<HI", 3, 40)) is None  # short
+
+
+def test_server_api_routing():
+    from smh_tpu.web.server import WebServer
+
+    server = WebServer(port=18771, ws_port=18772, host="127.0.0.1")
+    calls = []
+
+    def handler(path, query):
+        calls.append((path, query))
+        if path == "/api/boom":
+            raise RuntimeError("kapow")
+        return 200, {"path": path, "query": query}
+
+    server.api_handler = handler
+    server.start()
+    try:
+        out = get_json("http://127.0.0.1:18771/api/x?a=1&b=two")
+        assert out == {"path": "/api/x", "query": {"a": "1", "b": "two"}}
+        # handler exceptions -> 500 JSON, server stays alive
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get_json("http://127.0.0.1:18771/api/boom")
+        assert e.value.code == 500
+        # non-api paths still serve the client page
+        html = urllib.request.urlopen("http://127.0.0.1:18771/", timeout=5).read().decode()
+        assert "WebSocket" in html
+    finally:
+        server.stop()
+
+
+@pytest.fixture()
+def demo_app(tmp_path):
+    from smh_tpu import testing
+    from smh_tpu.app import App
+    from smh_tpu.ocr import FakeOcrEngine, OcrResult
+    from smh_tpu.settings import Settings
+    from smh_tpu.squadex.capture import StaticSource
+
+    frame = testing.make_frame(
+        1280, 720, marker_lines=[((100, 100), (420, 300))], scale_bars=[(60, 200, 120, 1)]
+    )
+    settings = Settings(path=None)
+    settings.set("hardware_acceleration", True)
+    app = App(
+        StaticSource(frame, dpi=96),
+        settings=settings,
+        port=18773,
+        ocr_engine=FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)]),
+        debug_web=True,
+        cache_dir=str(tmp_path / "hmcache"),
+    )
+    app.start()
+    try:
+        yield app
+    finally:
+        app.stop()
+
+
+def test_app_api_status_and_heightmap_flow(demo_app, tmp_path):
+    app = demo_app
+    st = get_json("http://127.0.0.1:18773/api/status")
+    assert st["heightmap"] is None
+    assert st["paks_configured"] is False
+
+    # no cache dir yet -> empty list
+    assert get_json("http://127.0.0.1:18773/api/heightmaps/cached") == {"files": []}
+
+    # create a cached .smhhm and select it via the API
+    import pathlib
+
+    from smh_tpu.squadex import heightmaps as hms
+
+    cache = pathlib.Path(app.cache_dir)
+    cache.mkdir(parents=True, exist_ok=True)
+    hm = hms.Heightmap(
+        width=4, height=4, bounds=((-2, -3), (5, 6)), scale=(1.0, 1.0, 100.0),
+        data=(np.arange(16, dtype=np.uint16).reshape(4, 4) * 4000),
+    )
+    hms.save_smhhm(cache / "demo_layer.smhhm", hm)
+
+    assert get_json("http://127.0.0.1:18773/api/heightmaps/cached") == {
+        "files": ["demo_layer.smhhm"]
+    }
+    out = get_json("http://127.0.0.1:18773/api/heightmaps/select?file=demo_layer.smhhm")
+    assert out == {"ok": True, "w": 4, "h": 4}
+    st = get_json("http://127.0.0.1:18773/api/status")
+    assert st["heightmap"] == {"w": 4, "h": 4}
+
+    # layers endpoint without paks -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get_json("http://127.0.0.1:18773/api/heightmaps/layers")
+    assert e.value.code == 400
+
+    out = get_json("http://127.0.0.1:18773/api/fit?on=1")
+    assert out["fit_to_minimap"] is True
+    out = get_json("http://127.0.0.1:18773/api/heightmaps/deselect")
+    assert out == {"ok": True}
+    st = get_json("http://127.0.0.1:18773/api/status")
+    assert st["heightmap"] is None
+
+    from smh_tpu.squadex import heightmaps as store
+
+    store.set_current(None)  # don't leak global state into other tests
+
+
+def test_inspect_and_debug_telemetry_over_websocket(demo_app):
+    websockets = pytest.importorskip("websockets")
+    import asyncio
+
+    events = {}
+
+    async def client():
+        async with websockets.connect("ws://127.0.0.1:18774", max_size=None) as ws:
+            sent_inspect = False
+            deadline = time.time() + 60
+            while time.time() < deadline and not ({100, 101} <= set(events)):
+                try:
+                    msg = await asyncio.wait_for(ws.recv(), timeout=5)
+                except asyncio.TimeoutError:
+                    continue
+                (eid,) = struct.unpack_from("<H", msg, 0)
+                if eid in (100, 101) and eid not in events:
+                    events[eid] = json.loads(msg[2:].decode())
+                if eid == 100 and not sent_inspect:
+                    # a frame has been processed: now inspect a pixel that
+                    # lies ON the drawn marker line
+                    await ws.send(struct.pack("<HII", 3, 100, 100))
+                    sent_inspect = True
+
+    asyncio.run(client())
+    assert 101 in events, "pixel inspection reply missing"
+    ins = events[101]
+    assert ins["x"] == 100 and ins["y"] == 100
+    assert ins["is_marker"] is True  # the marker line runs through (100,100)
+    assert set(ins["fireteams"]) == {"alpha", "bravo", "charlie"}
+    assert ins["fireteams"]["alpha"]["passed"] is True
+
+    assert 100 in events, "debug telemetry missing"
+    dbg = events[100]
+    assert "timeshares_ms" in dbg and "ocr" in dbg and "scales" in dbg
+    assert dbg["ocr"] and dbg["ocr"][0]["text"] == "300m"
+    assert "lsd_bbox" in dbg
+
+
+def test_client_page_structure():
+    """No browser/JS runtime exists in this image, so pin the client page
+    structurally: delimiters balance outside strings/comments, every protocol
+    event id has a decoder branch, and the new round-2 surfaces exist."""
+    import pathlib
+    import re
+
+    html = (pathlib.Path("smh_tpu/web/www/index.html")).read_text()
+    script = html.split("<script>")[1].split("</script>")[0]
+
+    # Strip string/template literals and comments with a small scanner (a
+    # regex pass mis-handles // inside template literals like `ws://...`).
+    out = []
+    i, n = 0, len(script)
+    while i < n:
+        c = script[i]
+        if c in "'\"`":
+            quote = c
+            i += 1
+            while i < n and script[i] != quote:
+                i += 2 if script[i] == "\\" else 1
+            i += 1
+            out.append("''")
+        elif c == "/" and i + 1 < n and script[i + 1] == "/":
+            while i < n and script[i] != "\n":
+                i += 1
+        elif c == "/" and i + 1 < n and script[i + 1] == "*":
+            j = script.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    stripped = "".join(out)
+    for open_c, close_c in (("{", "}"), ("(", ")"), ("[", "]")):
+        assert stripped.count(open_c) == stripped.count(close_c), f"unbalanced {open_c}{close_c}"
+
+    # protocol coverage: a branch per event id, including the extensions
+    for eid in (1, 2, 3, 4, 5, 100, 101):
+        assert f"id === {eid}" in script, f"no decoder for event {eid}"
+    assert "{{ WEBSOCKET_PORT }}" in script
+
+    # round-2 surfaces
+    for needle in (
+        "S.measuring",            # right-drag range-finder
+        "drawLineLabels",         # rotated dual-direction mil labels
+        "renderDebugPanel",       # timeshare waterfall
+        "renderHmPanel",          # heightmap browser panel
+        "/api/heightmaps/select", # browser -> server selection
+        "buildHmImage",           # false-color heightmap preview
+        "sendInspect",            # pixel inspector
+        "hmPlacement",            # shared heightmap projection math
+    ):
+        assert needle in script, f"missing client feature: {needle}"
