@@ -24,11 +24,18 @@ from typing import Optional
 import numpy as np
 
 from . import consts as C
-from .geometry import Line, Point
 from .ocr import tesseract
 from .settings import Settings
 from .squadex import heightmaps as hm_store
-from .squadex.capture import CaptureThread, DirectorySource, StaticSource, load_frame_bgra
+from .squadex.capture import (
+    BlackoutFallbackSource,
+    CaptureThread,
+    DirectorySource,
+    ScreenSource,
+    StaticSource,
+    VideoSource,
+    load_frame_bgra,
+)
 from .vision.pipeline import VisionLoop, VisionState
 from .web.server import WebServer
 from .web import protocol
@@ -319,6 +326,15 @@ def _build_source(args):
         return StaticSource(load_frame_bgra(args.image), dpi=args.dpi)
     if args.dir:
         return DirectorySource(args.dir, dpi=args.dpi)
+    if args.video:
+        return VideoSource(args.video, dpi=args.dpi, loop=True)
+    if args.screen:
+        region = None
+        if args.region:
+            region = tuple(int(v) for v in args.region.split(","))
+            if len(region) != 4:
+                raise SystemExit("--region wants x,y,w,h")
+        return ScreenSource(region=region, dpi=args.dpi)
     frame = testing.make_frame(
         1920, 1080,
         marker_lines=[((120, 150), (700, 520))],
@@ -332,7 +348,12 @@ def main(argv=None) -> int:
     src = ap.add_mutually_exclusive_group()
     src.add_argument("--image", help="use a single screenshot as the frame source")
     src.add_argument("--dir", help="cycle screenshots from a directory")
+    src.add_argument("--video", help="loop frames from a video recording")
+    src.add_argument("--screen", action="store_true",
+                     help="live screen capture (X11 root window / ImageGrab)")
     src.add_argument("--synthetic", action="store_true", help="built-in demo frame")
+    ap.add_argument("--region", default=None, metavar="X,Y,W,H",
+                    help="with --screen: clip to the game window's bounds")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--dpi", type=int, default=None)
     ap.add_argument("--backend", choices=["tpu", "numpy"], default=None)

@@ -17,8 +17,6 @@ from __future__ import annotations
 import logging
 import time
 
-import numpy as np
-
 log = logging.getLogger(__name__)
 
 COMMON_RESOLUTIONS = ((1920, 1080), (2560, 1440), (3840, 2160))

@@ -121,6 +121,192 @@ def load_frame_bgra(path: str) -> np.ndarray:
     return np.ascontiguousarray(rgba[..., [2, 1, 0, 3]])
 
 
+class VideoSource:
+    """Video-file frames (OpenCV decoder), BGRA-converted.
+
+    The offline counterpart of live capture: feed a gameplay recording
+    through the same pipeline (per-frame via CaptureThread, or batched via
+    vision/batch.py — see tools/analyze_video.py). `step` subsamples (every
+    Nth frame); `loop` restarts at EOF (for serving demos); non-loop sources
+    return None at EOF, which the capture thread treats as "no frame".
+    """
+
+    def __init__(self, path: str, dpi: Optional[int] = None, loop: bool = False, step: int = 1) -> None:
+        import cv2
+
+        self._cv2 = cv2
+        self._path = str(path)
+        self._cap = cv2.VideoCapture(self._path)
+        if not self._cap.isOpened():
+            raise ValueError(f"cannot open video {path}")
+        self._dpi = dpi
+        self._loop = loop
+        self._step = max(1, step)
+        self.fps = float(self._cap.get(cv2.CAP_PROP_FPS) or 0.0)
+
+    def _read(self) -> Optional[np.ndarray]:
+        ok, bgr = self._cap.read()
+        if not ok:
+            return None
+        h, w = bgr.shape[:2]
+        bgra = np.empty((h, w, 4), dtype=np.uint8)
+        bgra[..., :3] = bgr
+        bgra[..., 3] = 255
+        return bgra
+
+    def grab(self) -> Optional[Frame]:
+        for _ in range(self._step - 1):
+            if self._read() is None:
+                break
+        img = self._read()
+        if img is None:
+            if not self._loop:
+                return None
+            self._cap.set(self._cv2.CAP_PROP_POS_FRAMES, 0)
+            img = self._read()
+            if img is None:
+                return None
+        return Frame(img, self._dpi)
+
+    def iter_frames(self) -> Iterator[np.ndarray]:
+        """Offline iteration (ignores loop): yields BGRA arrays to EOF."""
+        while True:
+            for _ in range(self._step - 1):
+                if self._read() is None:
+                    return
+            img = self._read()
+            if img is None:
+                return
+            yield img
+
+    def close(self) -> None:
+        self._cap.release()
+
+
+def _x11_bgra(raw: bytes, w: int, h: int, bytes_per_line: int) -> np.ndarray:
+    """32bpp ZPixmap rows (little-endian BGRX) -> contiguous BGRA frame.
+    The X server leaves the pad byte undefined; alpha is forced opaque like
+    the reference does after GetDIBits (capture/windows.rs:266-269)."""
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, bytes_per_line)[:, : w * 4]
+    bgra = np.ascontiguousarray(rows.reshape(h, w, 4))
+    bgra[..., 3] = 255
+    return bgra
+
+
+class ScreenSource:
+    """Live screen capture for hosts with a display.
+
+    The reference grabs the game window with win32 PrintWindow and falls back
+    to whole-screen capture (src/squadex/capture/windows.rs:140-280); on
+    Linux hosts this grabs the X11 root window via libX11 (ctypes, ZPixmap),
+    with PIL.ImageGrab as a portability fallback. `region` = (x, y, w, h)
+    clips to a window's bounds (the PlgBlt-clip analog). Raises RuntimeError
+    when no display exists — callers pair it with BlackoutFallbackSource or
+    choose a file source instead.
+    """
+
+    def __init__(self, region: Optional[tuple[int, int, int, int]] = None, dpi: Optional[int] = None) -> None:
+        self._region = region
+        self._dpi = dpi
+        self._mode = None
+        self._x11 = None
+        try:
+            self._x11 = _X11Grabber()
+            self._mode = "x11"
+        except Exception:
+            try:
+                from PIL import ImageGrab
+
+                ImageGrab.grab(bbox=(0, 0, 8, 8))  # probe
+                self._grab_pil = ImageGrab.grab
+                self._mode = "pil"
+            except Exception as e:
+                raise RuntimeError(f"no usable screen capture (headless host?): {e}")
+
+    def grab(self) -> Optional[Frame]:
+        try:
+            if self._mode == "x11":
+                img = self._x11.grab(self._region)
+            else:
+                bbox = None
+                if self._region is not None:
+                    x, y, w, h = self._region
+                    bbox = (x, y, x + w, y + h)
+                rgba = np.asarray(self._grab_pil(bbox=bbox).convert("RGBA"))
+                img = np.ascontiguousarray(rgba[..., [2, 1, 0, 3]])
+                img[..., 3] = 255
+            return Frame(img, self._dpi)
+        except Exception:
+            return None  # transient failures read as "no frame" (mailbox skips)
+
+    def close(self) -> None:
+        if self._x11 is not None:
+            self._x11.close()
+
+
+class _X11Grabber:
+    """Minimal ctypes libX11 root-window grabber (XGetImage, ZPixmap)."""
+
+    ZPIXMAP = 2
+    ALL_PLANES = 0xFFFFFFFF
+
+    def __init__(self) -> None:
+        import ctypes
+        import ctypes.util
+
+        self._ct = ctypes
+        name = ctypes.util.find_library("X11") or "libX11.so.6"
+        self._lib = ctypes.CDLL(name)
+        self._lib.XOpenDisplay.restype = ctypes.c_void_p
+        self._lib.XDefaultRootWindow.restype = ctypes.c_ulong
+        self._lib.XGetImage.restype = ctypes.c_void_p
+        self._lib.XDisplayWidth.restype = ctypes.c_int
+        self._lib.XDisplayHeight.restype = ctypes.c_int
+        self._dpy = self._lib.XOpenDisplay(None)
+        if not self._dpy:
+            raise RuntimeError("XOpenDisplay failed (no DISPLAY)")
+        self._root = self._lib.XDefaultRootWindow(ctypes.c_void_p(self._dpy))
+        self._screen_w = self._lib.XDisplayWidth(ctypes.c_void_p(self._dpy), 0)
+        self._screen_h = self._lib.XDisplayHeight(ctypes.c_void_p(self._dpy), 0)
+
+    def grab(self, region: Optional[tuple[int, int, int, int]]) -> np.ndarray:
+        ct = self._ct
+        x, y, w, h = region if region is not None else (0, 0, self._screen_w, self._screen_h)
+        ximage_p = self._lib.XGetImage(
+            ct.c_void_p(self._dpy), ct.c_ulong(self._root),
+            ct.c_int(x), ct.c_int(y), ct.c_uint(w), ct.c_uint(h),
+            ct.c_ulong(self.ALL_PLANES), ct.c_int(self.ZPIXMAP),
+        )
+        if not ximage_p:
+            raise RuntimeError("XGetImage failed")
+        try:
+            # XImage layout (Xlib.h): width, height, xoffset, format ints,
+            # then char *data; then byte_order..bitmap_pad ints, then
+            # bytes_per_line. Offsets below are for LP64.
+            ints = ct.cast(ximage_p, ct.POINTER(ct.c_int))
+            width, height = ints[0], ints[1]
+            data_p = ct.cast(ximage_p + 16, ct.POINTER(ct.c_char_p)).contents.value
+            bytes_per_line = ct.cast(ximage_p + 24 + 5 * 4, ct.POINTER(ct.c_int)).contents.value
+            if bytes_per_line <= 0:
+                bytes_per_line = width * 4
+            raw = ct.string_at(data_p, bytes_per_line * height)
+            return _x11_bgra(raw, width, height, bytes_per_line)
+        finally:
+            # XDestroyImage is a macro; free via the struct's destroy_image
+            # funcs table is overkill — XFree on the struct leaks the data
+            # buffer on some servers, so call XDestroyImage's equivalent.
+            try:
+                self._lib.XDestroyImage(ct.c_void_p(ximage_p))
+            except AttributeError:
+                self._lib.XFree(ct.c_void_p(ximage_p))
+
+    def close(self) -> None:
+        try:
+            self._lib.XCloseDisplay(self._ct.c_void_p(self._dpy))
+        except Exception:
+            pass
+
+
 class CaptureThread:
     """One-slot latest-frame mailbox fed by a FrameSource at CAPTURE_HZ."""
 

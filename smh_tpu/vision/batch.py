@@ -25,9 +25,8 @@ import jax
 import numpy as np
 
 from .. import consts as C
-from ..geometry import Line, Point, Rect
+from ..geometry import Line, Rect
 from ..ops import pipeline as ops_pipeline
-from . import find_minimap as fm
 from . import lsd as vlsd
 from . import mpx_ratio as mpx
 from .reference import find_longest_line as oracle_march

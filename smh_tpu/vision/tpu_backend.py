@@ -73,7 +73,6 @@ class TpuBackend:
         for this scalar-chasing workload (SURVEY.md section 7 "hard parts")."""
         self.frame_np: Optional[np.ndarray] = None
         self.rois_dev: Optional[jax.Array] = None  # packed map+btn ROI upload
-        self._staging: Optional[np.ndarray] = None  # reused host upload buffer
         self.geom: Optional[C.MapGeometry] = None
         self._results: Optional[dict] = None
         self._lsd_crop_host: Optional[np.ndarray] = None  # u8 0/255 crop
@@ -134,16 +133,16 @@ class TpuBackend:
         self.frame_np = frame_bgra
         # Upload only the ROIs the pipeline reads (map + close-button), as
         # ONE flat buffer: ~2.3x less H2D than the whole frame, and a single
-        # latency-bound transfer instead of two. The staging buffer is reused
-        # across frames, and the ROI copy goes through shaped assignment —
-        # assigning a strided view via reshape(-1) hits a ~100 MB/s numpy
-        # slow path (~130 ms at 4K); the shaped copy is row-wise memcpy.
+        # latency-bound transfer instead of two. The ROI copy goes through
+        # shaped assignment — assigning a strided view via reshape(-1) hits a
+        # ~100 MB/s numpy slow path (~130 ms at 4K); the shaped copy is
+        # row-wise memcpy. The buffer must be FRESH per frame: device_put may
+        # read the host memory lazily (it keeps a reference), so reusing a
+        # staging buffer tears pipelined frames (two uploads in flight see
+        # each other's pixels — caught by test_pipelined_matches_sync).
         map_roi = frame_bgra[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w]
         btn_roi = frame_bgra[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w]
-        total = map_roi.size + btn_roi.size
-        if self._staging is None or self._staging.size != total:
-            self._staging = np.empty(total, dtype=np.uint8)
-        packed = self._staging
+        packed = np.empty(map_roi.size + btn_roi.size, dtype=np.uint8)
         packed[: map_roi.size].reshape(map_roi.shape)[...] = map_roi
         packed[map_roi.size :].reshape(btn_roi.shape)[...] = btn_roi
         self.rois_dev = jax.device_put(packed)
