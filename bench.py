@@ -217,6 +217,9 @@ def main() -> None:
         "--mode", default="full", choices=["full", "latency", "batch", "stream"]
     )
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="write a jax.profiler trace of the measured section "
+                         "(view with tensorboard / xprof)")
     args = ap.parse_args()
 
     w, h = {"4k": (3840, 2160), "1440p": (2560, 1440), "1080p": (1920, 1080)}[args.res]
@@ -259,7 +262,23 @@ def main() -> None:
         print(f"warmup {i}: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
     assert res is not None and len(res.markers) >= 1, "bench frame must detect"
 
-    p50, p90, rep_p50s = measure_process_p50(state, frames, iters, reps)
+    if args.profile:
+        import contextlib
+
+        import jax
+
+        try:
+            profile_cm = jax.profiler.trace(args.profile)
+        except Exception as e:  # tracing may be unsupported on some relays
+            print(f"profiler unavailable: {e}", file=sys.stderr)
+            profile_cm = contextlib.nullcontext()
+    else:
+        import contextlib
+
+        profile_cm = contextlib.nullcontext()
+
+    with profile_cm:
+        p50, p90, rep_p50s = measure_process_p50(state, frames, iters, reps)
     backend = state.delegate.backend
     stats = dict(getattr(backend, "stats", {}))
 
@@ -275,7 +294,10 @@ def main() -> None:
     hostpack_bytes = layout["__total__"]
     scalespack_bytes = ops_pipeline.scalespack_layout(g.map_h, g.map_w)["__total__"]
 
-    dev_p50, devfetch_p50 = measure_device(backend, max(10, iters // 2))
+    if hasattr(backend, "rois_dev"):
+        dev_p50, devfetch_p50 = measure_device(backend, max(10, iters // 2))
+    else:  # numpy fallback backend: no device decomposition to measure
+        dev_p50 = devfetch_p50 = float("nan")
     ratio = res.meters_to_px_ratio
     markers_detected = len(res.markers)
     state.close()

@@ -12,6 +12,13 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Protocol
 
+# Text threshold shared by every binary-capable engine and the device-side
+# bit-pack (ops/pipeline packs `ocr_img < OCR_BINARY_THRESHOLD`): the
+# preprocessed image is 255 background / inverted-luma text, and binary_ok
+# engines only ever evaluate this predicate, so a bit mask of it is an exact
+# transport. One definition — engines and kernels import it from here.
+OCR_BINARY_THRESHOLD = 200
+
 
 @dataclasses.dataclass(frozen=True)
 class OcrResult:

@@ -24,7 +24,7 @@ from typing import Optional
 
 import numpy as np
 
-from .engine import OcrResult
+from .engine import OCR_BINARY_THRESHOLD, OcrResult
 
 GLYPH_W, GLYPH_H = 12, 16
 CHARS = "0123456789m"
@@ -33,7 +33,7 @@ _FONTS = (
     "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
 )
 
-TEXT_THRESHOLD = 200  # preprocessed image: background == 255, text <= ~125
+TEXT_THRESHOLD = OCR_BINARY_THRESHOLD  # background == 255, text <= ~125
 MIN_GLYPH_PX = 8
 MIN_GLYPH_H = 5
 MAX_GLYPH_H = 48

@@ -120,6 +120,27 @@ def unpack_bits_host(packed: "np.ndarray", w: int) -> "np.ndarray":
     return np.unpackbits(packed, axis=1)[:, :w]
 
 
+def binary_ocr_image_host(keep_bits: "np.ndarray", w: int) -> "np.ndarray":
+    """Reconstruct the 0/255 OCR image from the bit-packed text mask — the
+    host side of the binary transport (exact for binary_ok engines, which
+    only evaluate `gray < OCR_BINARY_THRESHOLD`)."""
+    import numpy as np
+
+    keep = unpack_bits_host(keep_bits, w)
+    return np.where(keep != 0, np.uint8(0), np.uint8(255))
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def unpack_bits_device(packed: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Device-side inverse of pack_bits -> 0/255 u8 [h, w] (rebuilds the
+    full LSD mask for the device ray-march engine when the fused pass was
+    dispatched without the mask output)."""
+    h, row = packed.shape
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1)
+    return (bits.reshape(h, row * 8)[:, :w] * jnp.uint8(255))
+
+
 def _first_true_count(v: jnp.ndarray) -> jnp.ndarray:
     """Index of the first True in a 1D bool vector (len(v) if none), as the
     add-reduce of a log-shift cumulative AND of ~v. argmax/min-over-iota
@@ -435,11 +456,10 @@ def hostpack_layout(
     return layout
 
 
-# Text threshold of the binary-capable OCR engines (smh_tpu/ocr/smhocr.py):
-# the preprocessed image is 255 background / inverted-luma text, and those
-# engines only evaluate `gray < OCR_BINARY_THRESHOLD` — so a bit mask of
-# that predicate is an exact transport. smhocr imports this constant.
-OCR_BINARY_THRESHOLD = 200
+# Text threshold of the binary-capable OCR engines: one definition, in the
+# engine contract module (every consumer imports it from there, so the
+# device bit-pack and the host engines cannot drift).
+from ..ocr.engine import OCR_BINARY_THRESHOLD  # noqa: E402  (layout section)
 
 
 def scalespack_layout(map_h: int, map_w: int) -> dict:

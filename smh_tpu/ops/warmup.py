@@ -30,6 +30,9 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
     for w, h in resolutions:
         t0 = time.time()
         be = TpuBackend()
+        # Default engines (smhocr / canned fakes) are binary_ok; warm that
+        # transport. (A grayscale engine's buckets compile on first use.)
+        be.scales_binary_ok = True
         frame = testing.make_frame(w, h, marker_lines=[((50, 50), (200, 120))])
         be.load_frame(frame)
         out = be.crop_to_map(grayscale)
@@ -43,7 +46,14 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
                 be.dispatch(grayscale)
                 be.crop_to_map(grayscale)
             be._rung = 1
-        # Minimap-cadence variant (quiet mask dropped from the pack).
+        # Scales-transport variants the live loop flips between: inline
+        # ("binary" warmed above) and checksum-only ("none" — entered after
+        # a few stable frames on any static map).
+        be._scales_inline = False
+        be.dispatch(grayscale)
+        be.crop_to_map(grayscale)
+        be._scales_inline = True
+        # Minimap-cadence variant (minimap rect dropped from the pack).
         be.quiet_enabled = False
         be.dispatch(grayscale)
         be.crop_to_map(grayscale)

@@ -280,24 +280,38 @@ class _X11Grabber:
         if not ximage_p:
             raise RuntimeError("XGetImage failed")
         try:
-            # XImage layout (Xlib.h): width, height, xoffset, format ints,
-            # then char *data; then byte_order..bitmap_pad ints, then
-            # bytes_per_line. Offsets below are for LP64.
+            # XImage layout (Xlib.h, LP64): 4 ints (width, height, xoffset,
+            # format), then char *data @16, then ints byte_order @24,
+            # bitmap_unit, bitmap_bit_order, bitmap_pad, depth,
+            # bytes_per_line @44, bits_per_pixel @48.
             ints = ct.cast(ximage_p, ct.POINTER(ct.c_int))
             width, height = ints[0], ints[1]
             data_p = ct.cast(ximage_p + 16, ct.POINTER(ct.c_char_p)).contents.value
-            bytes_per_line = ct.cast(ximage_p + 24 + 5 * 4, ct.POINTER(ct.c_int)).contents.value
+            bytes_per_line = ct.cast(ximage_p + 44, ct.POINTER(ct.c_int)).contents.value
+            bits_per_pixel = ct.cast(ximage_p + 48, ct.POINTER(ct.c_int)).contents.value
+            if bits_per_pixel != 32:
+                raise RuntimeError(
+                    f"unsupported X visual: {bits_per_pixel} bpp (need 32bpp ZPixmap)"
+                )
             if bytes_per_line <= 0:
                 bytes_per_line = width * 4
             raw = ct.string_at(data_p, bytes_per_line * height)
             return _x11_bgra(raw, width, height, bytes_per_line)
         finally:
-            # XDestroyImage is a macro; free via the struct's destroy_image
-            # funcs table is overkill — XFree on the struct leaks the data
-            # buffer on some servers, so call XDestroyImage's equivalent.
+            # XDestroyImage frees both the struct and the pixel buffer; it is
+            # an exported symbol in modern libX11 (verified on this image).
+            # On ancient builds where it is macro-only, XFree at least frees
+            # the struct — warn, because the pixel buffer then leaks.
             try:
                 self._lib.XDestroyImage(ct.c_void_p(ximage_p))
             except AttributeError:
+                if not getattr(self, "_warned_leak", False):
+                    self._warned_leak = True
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "libX11 lacks XDestroyImage: XImage pixel buffers leak"
+                    )
                 self._lib.XFree(ct.c_void_p(ximage_p))
 
     def close(self) -> None:

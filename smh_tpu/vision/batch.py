@@ -200,10 +200,9 @@ class BatchPipeline:
                 else:
                     brq_row = (g.brq_w + 7) // 8
                     if inline == "binary":
-                        keep = ops_pipeline.unpack_bits_host(
+                        ocr_img = ops_pipeline.binary_ocr_image_host(
                             sect(i, "ocr_bits").reshape(g.brq_h, brq_row), g.brq_w
                         )
-                        ocr_img = np.where(keep != 0, np.uint8(0), np.uint8(255))
                     else:
                         ocr_img = sect(i, "ocr_img").reshape(g.brq_h, g.brq_w)
                     with self._ocr_lock:  # engine singletons are not re-entrant

@@ -452,8 +452,7 @@ class TpuBackend:
                 scales_img = ops_pipeline.unpack_bits_host(sb, brq_w) * np.uint8(255)
                 if oi is not None:
                     return oi, scales_img
-                keep = ops_pipeline.unpack_bits_host(ob, brq_w)
-                return np.where(keep != 0, np.uint8(0), np.uint8(255)), scales_img
+                return ops_pipeline.binary_ocr_image_host(ob, brq_w), scales_img
 
             return {"check": host["scales_check"], "fetch": fetch_inline}
 
@@ -482,10 +481,7 @@ class TpuBackend:
         if "ocr_img_inline" in host:
             return host["ocr_img_inline"]
         if "ocr_bits_inline" in host:
-            # Binary transport: reconstruct a 0/255 image — exact for engines
-            # that only threshold (binary_ok), which is what selected it.
-            keep = ops_pipeline.unpack_bits_host(host["ocr_bits_inline"], g.brq_w)
-            return np.where(keep != 0, np.uint8(0), np.uint8(255))
+            return ops_pipeline.binary_ocr_image_host(host["ocr_bits_inline"], g.brq_w)
         layout = ops_pipeline.scalespack_layout(g.map_h, g.map_w)
         off, size = layout["ocr_img"]
         return self._fetch_scalespack()[off : off + size].reshape(g.brq_h, g.brq_w)
@@ -526,16 +522,26 @@ class TpuBackend:
         bits = np.asarray(self._results["lsd_bits"])
         return ops_pipeline.unpack_bits_host(bits, g.map_w) * np.uint8(255)
 
+    def _lsd_mask_dev(self):
+        """Device u8 mask for the ray-march engine. The production dispatch
+        (native engine, no debug) drops the mask output to save HBM
+        writeback; contract callers get it rebuilt on device from the
+        bit-packed plane (one cheap dispatch, cached per frame)."""
+        assert self._results is not None and self.geom is not None
+        if "lsd_mask" not in self._results:
+            self._results["lsd_mask"] = ops_pipeline.unpack_bits_device(
+                self._results["lsd_bits"], self.geom.map_w
+            )
+        return self._results["lsd_mask"]
+
     def find_longest_line(self, mask: np.ndarray, pt: Point, max_gap: float) -> tuple[Line, float]:
-        assert self._results is not None
         return ops_lsd.find_longest_line(
-            self._results["lsd_mask"], pt, max_gap, max_len=self._march_max_len
+            self._lsd_mask_dev(), pt, max_gap, max_len=self._march_max_len
         )
 
     def _find_longest_lines_batch(self, mask: np.ndarray, pts: list[Point], max_gap: float):
-        assert self._results is not None
         return ops_lsd.find_longest_lines_batch(
-            self._results["lsd_mask"], pts, max_gap, max_len=self._march_max_len
+            self._lsd_mask_dev(), pts, max_gap, max_len=self._march_max_len
         )
 
     def find_marker_lines(self, max_gap: int) -> list[Line]:

@@ -255,3 +255,21 @@ def test_binary_transport_reads_identically_with_smhocr():
         (r.text, r.left, r.top, r.right, r.bottom) for r in b
     ]
     assert a, "sample must contain readable text for this test to mean anything"
+
+
+def test_contract_march_methods_work_without_mask_output():
+    """Production dispatch (native engine) drops the device mask output;
+    the backend-contract march methods must rebuild it on device instead of
+    KeyError-ing (round-2 review finding)."""
+    from smh_tpu.geometry import Point
+
+    be = TpuBackend()
+    if be.lsd_engine != "native":
+        pytest.skip("native engine unavailable")
+    frame = small_lines_frame()
+    be.load_frame(frame)
+    assert be.crop_to_map(True) is not None
+    assert "lsd_mask" not in be._results  # production config drops it
+    line, len_sqr = be.find_longest_line(None, Point(121.0, 151.0), 15.0)
+    assert len_sqr > 2500  # the drawn marker line is found
+    assert "lsd_mask" in be._results  # rebuilt on device and cached

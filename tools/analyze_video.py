@@ -65,11 +65,13 @@ def main() -> int:
         pending.clear()
 
     for img in src.iter_frames():
+        if args.limit and n + len(pending) >= args.limit:
+            break
         pending.append(img)
         if len(pending) == args.batch:
             flush()
-        if args.limit and n >= args.limit:
-            break
+    if args.limit:
+        pending[:] = pending[: max(0, args.limit - n)]
     flush()
     src.close()
     if bp is not None:

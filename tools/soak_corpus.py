@@ -1,9 +1,14 @@
-# Full golden corpus through the TPU backend (CPU platform): crash soak +
-# detection-count audit vs goldens.
+# Full golden corpus through the TPU backend: crash soak + detection audit
+# vs goldens. Default platform: forced CPU (safe anywhere). Pass --tpu to
+# run on the real chip (exercises the windowed hostpack + Mosaic lowering on
+# hardware; first run compiles several resolution buckets).
 import sys, json, pathlib, os
-os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
-import jax; jax.config.update("jax_platforms", "cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+import jax
+if "--tpu" not in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
 from smh_tpu.squadex.capture import load_frame_bgra
 from smh_tpu.vision.tpu_backend import TpuBackend
 
