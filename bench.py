@@ -114,12 +114,16 @@ def measure_device(backend, iters: int) -> tuple[float, float]:
     g = backend.geom
     with_ocr, with_quiet, grayscale, crop_h, crop_w, pallas, inline = backend._dispatch_flags
 
+    from smh_tpu.vision.tpu_backend import ROI_CHANNELS
+
     def dispatch():
         return ops_pipeline._analyze_packed_flat(
             backend.rois_dev,
             map_h=g.map_h, map_w=g.map_w, btn_h=g.btn_h, btn_w=g.btn_w,
             grayscale=grayscale, with_ocr=with_ocr, with_quiet=with_quiet,
             crop_h=crop_h, crop_w=crop_w, pallas=pallas, scales_inline=inline,
+            with_mask_output=(backend.lsd_engine != "native") or backend._debug,
+            channels=ROI_CHANNELS,
         )
 
     jax.block_until_ready(dispatch()["hostpack"])  # warm

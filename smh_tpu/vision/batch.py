@@ -75,14 +75,15 @@ class BatchPipeline:
         self._scales_cache: dict = {}
 
     def _pack_rois(self, frames: list[np.ndarray]) -> np.ndarray:
+        from .tpu_backend import _pack_rois_bgr
+
         g = self.geom
-        roi_bytes = g.map_h * g.map_w * 4 + g.btn_h * g.btn_w * 4
+        roi_bytes = (g.map_h * g.map_w + g.btn_h * g.btn_w) * 3
         out = np.empty((len(frames), roi_bytes), dtype=np.uint8)
         for i, f in enumerate(frames):
             m = f[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w]
             b = f[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w]
-            out[i, : m.size] = m.reshape(-1)
-            out[i, m.size :] = b.reshape(-1)
+            out[i] = _pack_rois_bgr(m, b)
         return out
 
     def _find_lines(self, crop_mask: np.ndarray, offset: tuple[int, int]) -> list[Line]:
@@ -130,6 +131,7 @@ class BatchPipeline:
             crop_h=self.crop_h,
             crop_w=self.crop_w,
             scales_inline=inline,
+            channels=3,
         )
         packs = np.asarray(out["hostpack"])  # ONE fetch for the whole batch
         layout = ops_pipeline.hostpack_layout(

@@ -55,6 +55,32 @@ _SHRINK_AFTER = 30
 _INLINE_STABLE_AFTER = 3
 
 
+try:  # SIMD BGRA->BGR (~3 ms for a 13 MB 4K ROI vs ~17 ms strided numpy)
+    import cv2 as _cv2
+except Exception:  # pragma: no cover - cv2 is in the image, but stay optional
+    _cv2 = None
+
+ROI_CHANNELS = 3  # the alpha byte is never read; dropping it cuts H2D 25%
+
+
+def _pack_rois_bgr(map_roi: np.ndarray, btn_roi: np.ndarray) -> np.ndarray:
+    """Flatten both BGRA ROI views into one BGR u8 upload buffer. Fresh
+    buffer per frame (device_put reads host memory lazily); shaped copies
+    (strided reshape(-1) assignment is a ~100 MB/s numpy slow path)."""
+    mh, mw = map_roi.shape[:2]
+    bh, bw = btn_roi.shape[:2]
+    packed = np.empty(mh * mw * 3 + bh * bw * 3, dtype=np.uint8)
+    mdst = packed[: mh * mw * 3].reshape(mh, mw, 3)
+    bdst = packed[mh * mw * 3 :].reshape(bh, bw, 3)
+    if _cv2 is not None:
+        _cv2.cvtColor(map_roi, _cv2.COLOR_BGRA2BGR, dst=mdst)
+        _cv2.cvtColor(btn_roi, _cv2.COLOR_BGRA2BGR, dst=bdst)
+    else:
+        mdst[...] = map_roi[..., :3]
+        bdst[...] = btn_roi[..., :3]
+    return packed
+
+
 def _lsd_ladder(map_h: int, map_w: int) -> list[tuple[int, int]]:
     rungs = []
     for num, den in ((1, 4), (1, 2), (3, 4)):
@@ -142,9 +168,7 @@ class TpuBackend:
         # each other's pixels — caught by test_pipelined_matches_sync).
         map_roi = frame_bgra[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w]
         btn_roi = frame_bgra[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w]
-        packed = np.empty(map_roi.size + btn_roi.size, dtype=np.uint8)
-        packed[: map_roi.size].reshape(map_roi.shape)[...] = map_roi
-        packed[map_roi.size :].reshape(btn_roi.shape)[...] = btn_roi
+        packed = _pack_rois_bgr(map_roi, btn_roi)
         self.rois_dev = jax.device_put(packed)
         self._results = None
         self._host = None
@@ -237,6 +261,7 @@ class TpuBackend:
             pallas=pallas,
             scales_inline=inline,
             with_mask_output=(self.lsd_engine != "native") or self._debug,
+            channels=ROI_CHANNELS,
         )
 
     def snapshot_job(self) -> dict:
@@ -356,7 +381,9 @@ class TpuBackend:
         if self._debug:
             # Debug views want the extra intermediates: run the full-output
             # pass too (debug mode trades speed for visibility).
-            map_dev = self.rois_dev[: g.map_h * g.map_w * 4].reshape(g.map_h, g.map_w, 4)
+            map_dev = self.rois_dev[: g.map_h * g.map_w * ROI_CHANNELS].reshape(
+                g.map_h, g.map_w, ROI_CHANNELS
+            )
             self._results.update(
                 ops_pipeline.analyze_map(map_dev, grayscale=grayscale, with_isolated=True)
             )
