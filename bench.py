@@ -46,17 +46,17 @@ import numpy as np  # noqa: E402
 
 
 def build_state(scales_async: bool = False):
-    from smh_tpu.ocr import FakeOcrEngine, OcrResult
+    from smh_tpu.ocr.smhocr import SmhOcrEngine
     from smh_tpu.settings import Settings
     from smh_tpu.vision.pipeline import VisionState
 
     settings = Settings(path=None)
     settings.set("hardware_acceleration", True)
-    # The OCR engine seam is benchmarked separately; the canned engine keeps
-    # the scales branch (preprocess + bar scan) in the measured path without
-    # requiring traineddata in the image.
-    ocr = FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)])
-    return VisionState(settings=settings, ocr_engine=ocr, scales_async=scales_async)
+    # Round 2: the measured path runs the REAL self-contained OCR engine on
+    # rendered scale text (round 1 used a canned engine — less host work per
+    # frame than this). Keeps the full glyph pipeline + band transport in
+    # the measured numbers without requiring traineddata in the image.
+    return VisionState(settings=settings, ocr_engine=SmhOcrEngine(), scales_async=scales_async)
 
 
 def make_bench_frames(w: int, h: int, n: int = 4) -> list[np.ndarray]:
@@ -77,7 +77,8 @@ def make_bench_frames(w: int, h: int, n: int = 4) -> list[np.ndarray]:
                 ((120 + off, 150), (700 + off, 520)),
                 ((w // 4, h // 3 + off), (w // 4 + 450, h // 3 + 60 + off)),
             ],
-            scale_bars=[(60, 200, 120, 1)],  # fixed: the canned OCR bbox points here
+            scale_texts=[("300m", (60, 170))],  # real glyphs for the real engine
+            scale_bars=[(60, 200, 120, 1)],
         )
         # Perturb a patch inside the BRQ so the OCR-preprocess image differs
         # per frame and the scales path cannot hit its unchanged-input cache.
@@ -112,7 +113,8 @@ def measure_device(backend, iters: int) -> tuple[float, float]:
     from smh_tpu.ops import pipeline as ops_pipeline
 
     g = backend.geom
-    with_ocr, with_quiet, grayscale, crop_h, crop_w, pallas, inline = backend._dispatch_flags
+    (with_ocr, with_quiet, grayscale, crop_h, crop_w,
+     pallas, inline, band) = backend._dispatch_flags
 
     from smh_tpu.vision.tpu_backend import ROI_CHANNELS
 
@@ -123,7 +125,7 @@ def measure_device(backend, iters: int) -> tuple[float, float]:
             grayscale=grayscale, with_ocr=with_ocr, with_quiet=with_quiet,
             crop_h=crop_h, crop_w=crop_w, pallas=pallas, scales_inline=inline,
             with_mask_output=(backend.lsd_engine != "native") or backend._debug,
-            channels=ROI_CHANNELS,
+            channels=ROI_CHANNELS, scales_band=band,
         )
 
     jax.block_until_ready(dispatch()["hostpack"])  # warm
@@ -190,11 +192,10 @@ def measure_pipelined_fps(w: int, h: int, seconds: float) -> float:
 
 
 def measure_batched(w: int, h: int, iters: int, batch: int = 8) -> float:
-    from smh_tpu.ocr import FakeOcrEngine, OcrResult
+    from smh_tpu.ocr.smhocr import SmhOcrEngine
     from smh_tpu.vision.batch import BatchPipeline
 
-    ocr = FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)])
-    bp = BatchPipeline(w, h, batch=batch, ocr_engine=ocr)
+    bp = BatchPipeline(w, h, batch=batch, ocr_engine=SmhOcrEngine())
     base = make_bench_frames(w, h, n=batch)
     for _ in range(2):
         results = bp.process(base)
@@ -290,10 +291,10 @@ def main() -> None:
     from smh_tpu import consts as C
 
     g = C.map_geometry(w, h)
-    with_ocr, with_quiet, _, crop_h, crop_w, _, inline = backend._dispatch_flags
+    with_ocr, with_quiet, _, crop_h, crop_w, _, inline, band = backend._dispatch_flags
     layout = ops_pipeline.hostpack_layout(
         g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=with_quiet,
-        crop_h=crop_h, crop_w=crop_w, scales_inline=inline,
+        crop_h=crop_h, crop_w=crop_w, scales_inline=inline, scales_band=band,
     )
     hostpack_bytes = layout["__total__"]
     scalespack_bytes = ops_pipeline.scalespack_layout(g.map_h, g.map_w)["__total__"]
@@ -333,6 +334,7 @@ def main() -> None:
         "hostpack_bytes": hostpack_bytes,
         "scalespack_bytes": scalespack_bytes,
         "lsd_window_misses": stats.get("lsd_window_misses"),
+        "scales_band_misses": stats.get("scales_band_misses"),
         "scalespack_fetches": stats.get("scalespack_fetches"),
         "frames_measured": stats.get("frames"),
         "iters": iters,

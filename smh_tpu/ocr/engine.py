@@ -36,6 +36,10 @@ class OcrEngine(Protocol):
     # bit-packed text mask (8x less D2H) and reconstructs a 0/255 image —
     # exact for any engine that never reads intermediate gray levels.
     binary_ok: bool = False
+    # True (default) for engines whose results derive from the image pixels:
+    # lets the backend ship only the text-row band (exact). Test doubles
+    # returning canned results set False.
+    image_derived: bool = True
 
     def read(self, gray, dpi: Optional[int] = None) -> list[OcrResult]:
         """Recognize text lines in a grayscale u8 image [h, w]."""

@@ -11,6 +11,10 @@ class FakeOcrEngine:
     """Returns pre-scripted results; records what it was asked to read."""
 
     binary_ok = True  # never reads pixel values
+    # Canned results do NOT derive from the image, so row-band transport
+    # (which only ships the text neighbourhood) must stay off for this
+    # engine — its fabricated bboxes may point anywhere.
+    image_derived = False
 
     def __init__(self, results: list[OcrResult]) -> None:
         self._results = list(results)

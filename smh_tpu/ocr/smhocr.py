@@ -94,6 +94,8 @@ class SmhOcrEngine:
     # The engine only thresholds (gray < TEXT_THRESHOLD); a 0/255 image
     # reconstructed from the bit-packed text mask reads identically.
     binary_ok = True
+    # Results derive from the pixels: row-band transport is exact for it.
+    image_derived = True
 
     def read(self, gray: np.ndarray, dpi: Optional[int] = None) -> list[OcrResult]:
         from scipy import ndimage

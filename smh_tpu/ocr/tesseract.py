@@ -71,6 +71,11 @@ class TesseractEngine:
     """Thread-safe (lock-serialized, like the reference's singleton mutex,
     vision-ocr/src/lib.rs:57-71) Tesseract TEXTLINE reader."""
 
+    # Reads gray levels (LSTM), so no binary transport; results derive from
+    # the pixels, so the row-band transport is exact for it.
+    binary_ok = False
+    image_derived = True
+
     def __init__(self, lang: str = "eng", tessdata: Optional[str] = None) -> None:
         self._lib = _find_lib()
         if self._lib is None:

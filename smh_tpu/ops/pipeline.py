@@ -408,6 +408,7 @@ def hostpack_layout(
     crop_h: int | None = None,
     crop_w: int | None = None,
     scales_inline: str = "none",
+    scales_band: int | None = None,
 ) -> dict:
     """Byte offsets of each section inside the packed buffer.
 
@@ -434,7 +435,6 @@ def hostpack_layout(
     brq_h, brq_w = map_h // 2, map_w // 2
     mask_bytes = map_h * ((map_w + 7) // 8)
     crop_bytes = crop_h * ((crop_w + 7) // 8)
-    brq_bits = brq_h * ((brq_w + 7) // 8)
     sections = [
         ("red_ratio", 4),
         ("ui_check", 8),
@@ -442,10 +442,14 @@ def hostpack_layout(
     ]
     if with_ocr:
         sections += [("scales_check", 16)]
+        rows = brq_h if scales_band is None else scales_band
+        row_bits = (brq_w + 7) // 8
+        if scales_inline in ("binary", "gray") and scales_band is not None:
+            sections += [("scales_meta", 12)]
         if scales_inline == "binary":
-            sections += [("scales_bits", brq_bits), ("ocr_bits", brq_bits)]
+            sections += [("scales_bits", rows * row_bits), ("ocr_bits", rows * row_bits)]
         elif scales_inline == "gray":
-            sections += [("scales_bits", brq_bits), ("ocr_img", brq_h * brq_w)]
+            sections += [("scales_bits", rows * row_bits), ("ocr_img", rows * brq_w)]
     if with_quiet:
         sections += [("minimap_rect", 16)]
     sections += [("lsd_crop", crop_bytes)]
@@ -462,6 +466,14 @@ def hostpack_layout(
 # engine contract module (every consumer imports it from there, so the
 # device bit-pack and the host engines cannot drift).
 from ..ocr.engine import OCR_BINARY_THRESHOLD  # noqa: E402  (layout section)
+
+
+def scales_scan_budget(brq_w: int) -> int:
+    """Rows the bar scan can read below a text's bottom: the reference's
+    round((20/640) * image_width) scan-down budget plus the 4-px vertical-bar
+    probe (vision/mpx_ratio.py:find_scale_width). The OCR text-row band must
+    extend this far past the keep-mask bbox to be read-complete."""
+    return int((20.0 / 640.0) * brq_w + 0.5) + 4
 
 
 def scalespack_layout(map_h: int, map_w: int) -> dict:
@@ -485,6 +497,7 @@ def _pack_outputs(
     crop_w: int,
     scales_inline: str = "none",
     with_mask_output: bool = True,
+    scales_band: int | None = None,
 ) -> dict:
     map_h, map_w = out["lsd_bool"].shape
     y0, y1, x0, x1 = _mask_bbox(out["lsd_bool"])
@@ -501,7 +514,35 @@ def _pack_outputs(
     if with_ocr:
         scheck = jnp.concatenate([_weighted_check(out["scales_bits"]), _weighted_check(out["ocr_img"])])
         parts += [jax.lax.bitcast_convert_type(scheck, jnp.uint8).reshape(-1)]
-        if scales_inline == "binary":
+        banded = scales_inline in ("binary", "gray") and scales_band is not None
+        if banded:
+            # OCR text-row band: every non-background OCR pixel lives in the
+            # keep-mask row bbox, and the bar scan reads at most
+            # scales_scan_budget rows below a text bottom — so a row band
+            # anchored at the bbox is a read-complete (exact) transport.
+            brq_h, brq_w = out["ocr_img"].shape
+            keep = out["ocr_img"] < jnp.uint8(OCR_BINARY_THRESHOLD)
+            krows = keep.any(axis=1)
+            oy0 = _first_true_count(krows)
+            oy1 = jnp.int32(brq_h) - _first_true_count(krows[::-1])
+            b0 = jnp.clip(oy0, 0, brq_h - scales_band)
+            smeta = jnp.stack([oy0, oy1, b0]).astype(jnp.int32)
+            parts += [jax.lax.bitcast_convert_type(smeta, jnp.uint8).reshape(-1)]
+            row_bits = (brq_w + 7) // 8
+            sb_band = jax.lax.dynamic_slice(
+                out["scales_bits"], (b0, 0), (scales_band, row_bits)
+            )
+            if scales_inline == "binary":
+                ob_band = jax.lax.dynamic_slice(
+                    pack_bits(keep), (b0, 0), (scales_band, row_bits)
+                )
+                parts += [sb_band.reshape(-1), ob_band.reshape(-1)]
+            else:
+                oi_band = jax.lax.dynamic_slice(
+                    out["ocr_img"], (b0, 0), (scales_band, brq_w)
+                )
+                parts += [sb_band.reshape(-1), oi_band.reshape(-1)]
+        elif scales_inline == "binary":
             parts += [
                 out["scales_bits"].reshape(-1),
                 pack_bits(out["ocr_img"] < jnp.uint8(OCR_BINARY_THRESHOLD)).reshape(-1),
@@ -525,7 +566,10 @@ def _pack_outputs(
     }
     if with_mask_output:
         res["lsd_mask"] = out["lsd_mask"]
-    if with_ocr and scales_inline == "none":
+    if with_ocr and (scales_inline == "none" or scales_band is not None):
+        # The full-resolution images: the lazy transport's payload, and the
+        # band transport's fallback when the band misses (rare: text rows
+        # taller than the band window).
         res["scalespack"] = jnp.concatenate(
             [out["scales_bits"].reshape(-1), out["ocr_img"].reshape(-1)]
         )
@@ -537,7 +581,7 @@ def _pack_outputs(
     static_argnames=(
         "map_h", "map_w", "btn_h", "btn_w",
         "grayscale", "with_ocr", "with_quiet", "crop_h", "crop_w", "pallas",
-        "scales_inline", "with_mask_output", "channels",
+        "scales_inline", "with_mask_output", "channels", "scales_band",
     ),
 )
 def _analyze_packed_flat(
@@ -555,6 +599,7 @@ def _analyze_packed_flat(
     scales_inline: str = "none",
     with_mask_output: bool = True,
     channels: int = 4,
+    scales_band: int | None = None,
 ):
     """The production dispatch: takes BOTH ROIs in one flat u8 upload (H2D is
     latency-bound like D2H: one transfer beats two; channels=3 drops the
@@ -569,7 +614,7 @@ def _analyze_packed_flat(
     red = _red_gate_roi(btn_bgra)
     return _pack_outputs(
         out, red, with_ocr, with_quiet, crop_h, crop_w, scales_inline,
-        with_mask_output=with_mask_output,
+        with_mask_output=with_mask_output, scales_band=scales_band,
     )
 
 

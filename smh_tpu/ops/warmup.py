@@ -39,13 +39,15 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
         if out is not None:
             be.find_marker_lines(C.LSD_MAX_GAP)
         # Window-rung ladder buckets (the backend escalates/shrinks at
-        # runtime; each rung is its own compiled shape).
-        if be._ladder is not None:
-            for rung in range(len(be._ladder)):
-                be._rung = rung
+        # runtime; each rung is its own compiled shape). Height/width adapt
+        # independently — warm the matched-rung diagonal, the most common
+        # shapes (mixed rungs compile on first use, cache persists).
+        if be._ladder_h is not None:
+            for rung in range(len(be._ladder_h)):
+                be._rung_h = be._rung_w = rung
                 be.dispatch(grayscale)
                 be.crop_to_map(grayscale)
-            be._rung = 1
+            be._rung_h = be._rung_w = 1
         # Scales-transport variants the live loop flips between: inline
         # ("binary" warmed above) and checksum-only ("none" — entered after
         # a few stable frames on any static map).

@@ -35,14 +35,19 @@ def make_frame(
     marker_lines: list[tuple[tuple[int, int], tuple[int, int]]] = (),
     with_button: bool = True,
     scale_bars: list[tuple[int, int, int, int]] = (),  # (x, y, width, thickness)
+    scale_texts: list[tuple[str, tuple[int, int]]] = (),  # ("300m", (x, y)) in BRQ coords
     background: tuple[int, int, int] = (90, 80, 70),
     line_thickness: int = 2,
 ) -> np.ndarray:
     """Build a BGRA u8 frame.
 
-    marker_lines are given in *map-ROI* coordinates; scale_bars in *BRQ*
-    coordinates. The background is a non-marker, non-monochrome color so it
-    neither triggers the classifier nor the OCR keep-mask.
+    marker_lines are given in *map-ROI* coordinates; scale_bars and
+    scale_texts in *BRQ* coordinates. scale_texts renders real glyphs
+    (DejaVu Sans, bright monochrome) that survive the OCR preprocess and are
+    readable by the self-contained smhocr engine — end-to-end scales-branch
+    tests/benches without canned engine results. The background is a
+    non-marker, non-monochrome color so it neither triggers the classifier
+    nor the OCR keep-mask.
     """
     g = C.map_geometry(frame_w, frame_h)
     frame = np.empty((frame_h, frame_w, 4), dtype=np.uint8)
@@ -80,6 +85,33 @@ def make_frame(
             # vertical end bars (4 px down from the line's row)
             brq_view[y : y + 4, x, :3] = 0
             brq_view[y : y + 4, x + width, :3] = 0
+
+    if scale_texts:
+        from PIL import Image, ImageDraw, ImageFont
+
+        brq_view = frame[g.brq_y : g.brq_y + g.brq_h, g.brq_x : g.brq_x + g.brq_w]
+        font = None
+        for path in (
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+        ):
+            try:
+                # 20 px reads at ~95% confidence with smhocr; below ~18 px the
+                # thresholded glyph shapes drift too far from the templates.
+                font = ImageFont.truetype(path, 20)
+                break
+            except OSError:
+                continue
+        for text, (tx, ty) in scale_texts:
+            img = Image.new("L", (20 * len(text) + 8, 30), 0)
+            d = ImageDraw.Draw(img)
+            d.text((2, 2), text, fill=255, font=font)
+            glyph = np.asarray(img)
+            ys, xs = np.nonzero(glyph > 128)
+            for yy, xx in zip(ys, xs):
+                py, px = ty + yy, tx + xx
+                if 0 <= py < brq_view.shape[0] and 0 <= px < brq_view.shape[1]:
+                    brq_view[py, px, :3] = 236  # bright monochrome: OCR keeps it
 
     return frame
 

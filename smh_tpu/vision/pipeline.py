@@ -194,6 +194,10 @@ class VisionState:
             backend.scales_enabled = self.ocr_engine is not None and not heightmaps.is_set()
         if hasattr(backend, "scales_binary_ok"):
             backend.scales_binary_ok = bool(getattr(self.ocr_engine, "binary_ok", False))
+        if hasattr(backend, "scales_image_derived"):
+            backend.scales_image_derived = bool(
+                getattr(self.ocr_engine, "image_derived", False)
+            )
 
         frame_size = (frame.image.shape[1], frame.image.shape[0])
         self._frame_counter += 1

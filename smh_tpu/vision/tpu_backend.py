@@ -81,12 +81,49 @@ def _pack_rois_bgr(map_roi: np.ndarray, btn_roi: np.ndarray) -> np.ndarray:
     return packed
 
 
-def _lsd_ladder(map_h: int, map_w: int) -> list[tuple[int, int]]:
-    rungs = []
-    for num, den in ((1, 4), (1, 2), (3, 4)):
-        rungs.append((max(1, (map_h * num) // den), max(1, (map_w * num) // den)))
-    rungs.append((map_h, map_w))
-    return rungs
+def _paste_band(band_img: "np.ndarray", brq_h: int, b0: int, fill: int) -> "np.ndarray":
+    """Row band -> full-height canvas. Exact: every pixel the OCR engine or
+    the bar scan can read lies inside the band (the keep-mask row bbox plus
+    ops/pipeline.scales_scan_budget)."""
+    canvas = np.full((brq_h, band_img.shape[1]), np.uint8(fill))
+    canvas[b0 : b0 + band_img.shape[0]] = band_img
+    return canvas
+
+
+def _ocr_image_from_host(host: dict, g) -> "np.ndarray | None":
+    """OCR input from the inline hostpack sections; None -> use scalespack."""
+    band = host.get("scales_band")
+    if band == "miss":
+        return None
+    if isinstance(band, tuple) and band[2]:  # textless: all background
+        return np.full((g.brq_h, g.brq_w), np.uint8(255))
+    if "ocr_img_inline" in host:
+        img = host["ocr_img_inline"]
+        return _paste_band(img, g.brq_h, band[1], 255) if isinstance(band, tuple) else img
+    if "ocr_bits_inline" in host:
+        img = ops_pipeline.binary_ocr_image_host(host["ocr_bits_inline"], g.brq_w)
+        return _paste_band(img, g.brq_h, band[1], 255) if isinstance(band, tuple) else img
+    return None
+
+
+def _scales_image_from_host(host: dict, g) -> "np.ndarray | None":
+    """Scales binarize (0/255) from the inline sections; None -> scalespack."""
+    band = host.get("scales_band")
+    if band == "miss":
+        return None
+    if isinstance(band, tuple) and band[2]:  # textless: nothing readable
+        return np.zeros((g.brq_h, g.brq_w), dtype=np.uint8)
+    if "scales_bits_inline" in host:
+        img = ops_pipeline.unpack_bits_host(host["scales_bits_inline"], g.brq_w) * np.uint8(255)
+        return _paste_band(img, g.brq_h, band[1], 0) if isinstance(band, tuple) else img
+    return None
+
+
+def _dim_ladder(dim: int) -> list[int]:
+    """Window rungs for ONE dimension: 1/4, 1/2, 3/4, full. Height and width
+    adapt independently (marker-line sets are usually wide-short or
+    tall-narrow, so a square window wastes half the crop bytes)."""
+    return [max(1, dim // 4), max(1, dim // 2), max(1, (dim * 3) // 4), dim]
 
 
 class TpuBackend:
@@ -106,21 +143,31 @@ class TpuBackend:
         self._march_max_len: Optional[float] = None  # bbox diag bound
         self._debug = False
         self._grayscale = True
-        self._dispatch_flags: tuple = (True, True, True, None, None, "off", "gray")
+        self._dispatch_flags: tuple = (True, True, True, None, None, "off", "gray", None)
         self._host: Optional[dict] = None  # parsed hostpack sections
         self._scalespack_host: Optional[np.ndarray] = None
         self._ui_check: Optional[tuple] = None
         self._ui_map_cache: Optional[np.ndarray] = None
-        self._ladder: Optional[list[tuple[int, int]]] = None
-        self._rung = 1  # start at the 1/2 window
+        self._ladder_h: Optional[list[int]] = None
+        self._ladder_w: Optional[list[int]] = None
+        self._rung_h = 1  # start at the 1/2 window
+        self._rung_w = 1
         self._shrink_streak = 0
-        self.stats = {"lsd_window_misses": 0, "scalespack_fetches": 0, "frames": 0}
+        self.stats = {
+            "lsd_window_misses": 0,
+            "scalespack_fetches": 0,
+            "scales_band_misses": 0,
+            "frames": 0,
+        }
         # The driver disables this when a heightmap supplies distances or no
         # OCR engine exists: the OCR image then never leaves the device.
         self.scales_enabled = True
         # Engines that only threshold the OCR image (binary_ok) receive it as
         # a bit-packed text mask: 8x less D2H, exact (ops/pipeline.py).
         self.scales_binary_ok = False
+        # Engines whose results derive from the image also allow the row-band
+        # transport (ship only the text neighbourhood + bar-scan budget).
+        self.scales_image_derived = False
         # Adaptive transport for the scales/OCR images: while their checksum
         # keeps changing (map panning) they ride INLINE in the single
         # hostpack fetch; after _INLINE_STABLE_AFTER unchanged frames they
@@ -129,6 +176,11 @@ class TpuBackend:
         self._scales_inline = True
         self._scales_last_check = None
         self._scales_stable = 0
+        # OCR text-row band: the inline scales/OCR sections carry only the
+        # rows around the keep-mask bbox + the bar-scan budget (exact — see
+        # ops/pipeline.scales_scan_budget). Own rung ladder over brq_h.
+        self._band_rung = 1
+        self._band_streak = 0
         # Minimap quiet mask cadence: the driver may skip it on frames where
         # it reuses cached minimap bounds (bounds only move on zoom changes).
         self.quiet_enabled = True
@@ -154,7 +206,8 @@ class TpuBackend:
         h, w = frame_bgra.shape[:2]
         if self.geom is None or (self.geom.frame_w, self.geom.frame_h) != (w, h):
             self.geom = C.map_geometry(w, h)
-            self._ladder = None
+            self._ladder_h = None
+            self._ladder_w = None
         g = self.geom
         self.frame_np = frame_bgra
         # Upload only the ROIs the pipeline reads (map + close-button), as
@@ -187,34 +240,56 @@ class TpuBackend:
         mask_bytes = g.map_h * ((g.map_w + 7) // 8)
         if mask_bytes <= _MIN_WINDOWED_MASK_BYTES:
             return None, None
-        if self._ladder is None:
-            self._ladder = _lsd_ladder(g.map_h, g.map_w)
-            self._rung = min(self._rung, len(self._ladder) - 1)
-        ch, cw = self._ladder[self._rung]
+        if self._ladder_h is None:
+            self._ladder_h = _dim_ladder(g.map_h)
+            self._ladder_w = _dim_ladder(g.map_w)
+            self._rung_h = min(self._rung_h, len(self._ladder_h) - 1)
+            self._rung_w = min(self._rung_w, len(self._ladder_w) - 1)
+        ch = self._ladder_h[self._rung_h]
+        cw = self._ladder_w[self._rung_w]
         if (ch, cw) == (g.map_h, g.map_w):
             return None, None
         return ch, cw
 
-    def _rung_for_bbox(self, bh: int, bw: int) -> int:
-        """Smallest rung whose window holds bbox + margins + motion slack."""
-        need_h = bh + 2 * ops_pipeline.LSD_CROP_MARGIN + _RUNG_SLACK
-        need_w = bw + 2 * ops_pipeline.LSD_CROP_MARGIN + _RUNG_SLACK
-        for i, (ch, cw) in enumerate(self._ladder):
-            if ch >= need_h and cw >= need_w:
+    def _scales_band_size(self) -> Optional[int]:
+        """Static OCR row-band height for the next dispatch (None = full)."""
+        if not self.scales_image_derived:
+            return None  # canned engines: bboxes may point anywhere
+        g = self.geom
+        brq_bits = g.brq_h * ((g.brq_w + 7) // 8)
+        if brq_bits <= 4 * 1024:  # tiny test frames: banding can't pay
+            return None
+        ladder = _dim_ladder(g.brq_h)
+        band = ladder[min(self._band_rung, len(ladder) - 1)]
+        return None if band >= g.brq_h else band
+
+    @staticmethod
+    def _rung_for(ladder: list[int], need: int) -> int:
+        for i, d in enumerate(ladder):
+            if d >= need:
                 return i
-        return len(self._ladder) - 1
+        return len(ladder) - 1
 
     def _adapt_rung(self, bh: int, bw: int) -> None:
-        if self._ladder is None:
+        """Escalate immediately, shrink after a sustained streak; height and
+        width adapt independently (one shared streak counter keeps the
+        hysteresis simple)."""
+        if self._ladder_h is None:
             return
-        want = self._rung_for_bbox(bh, bw)
-        if want > self._rung:
-            self._rung = want
+        pad = 2 * ops_pipeline.LSD_CROP_MARGIN + _RUNG_SLACK
+        want_h = self._rung_for(self._ladder_h, bh + pad)
+        want_w = self._rung_for(self._ladder_w, bw + pad)
+        if want_h > self._rung_h or want_w > self._rung_w:
+            self._rung_h = max(self._rung_h, want_h)
+            self._rung_w = max(self._rung_w, want_w)
             self._shrink_streak = 0
-        elif want < self._rung:
+        elif want_h < self._rung_h or want_w < self._rung_w:
             self._shrink_streak += 1
             if self._shrink_streak >= _SHRINK_AFTER:
-                self._rung -= 1  # one rung at a time
+                if want_h < self._rung_h:
+                    self._rung_h -= 1
+                if want_w < self._rung_w:
+                    self._rung_w -= 1
                 self._shrink_streak = 0
         else:
             self._shrink_streak = 0
@@ -238,6 +313,7 @@ class TpuBackend:
             inline = "binary"
         else:
             inline = "gray"
+        band = self._scales_band_size() if inline != "none" else None
         self._dispatch_flags = (
             self.scales_enabled,
             self.quiet_enabled,
@@ -246,6 +322,7 @@ class TpuBackend:
             crop_w,
             pallas,
             inline,
+            band,
         )
         self._results = ops_pipeline._analyze_packed_flat(
             self.rois_dev,
@@ -262,6 +339,7 @@ class TpuBackend:
             scales_inline=inline,
             with_mask_output=(self.lsd_engine != "native") or self._debug,
             channels=ROI_CHANNELS,
+            scales_band=band,
         )
 
     def snapshot_job(self) -> dict:
@@ -301,11 +379,11 @@ class TpuBackend:
         if self._results is None or self._grayscale != grayscale:
             self._grayscale = grayscale
             self.dispatch()
-        with_ocr, with_quiet, _, crop_h, crop_w, _, inline = self._dispatch_flags
+        with_ocr, with_quiet, _, crop_h, crop_w, _, inline, band = self._dispatch_flags
         pack = np.asarray(self._results["hostpack"])
         layout = ops_pipeline.hostpack_layout(
             g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=with_quiet,
-            crop_h=crop_h, crop_w=crop_w, scales_inline=inline,
+            crop_h=crop_h, crop_w=crop_w, scales_inline=inline, scales_band=band,
         )
         eff_ch = g.map_h if crop_h is None else crop_h
         eff_cw = g.map_w if crop_w is None else crop_w
@@ -330,11 +408,47 @@ class TpuBackend:
             self._host["scales_check"] = check
             brq_row = (g.brq_w + 7) // 8
             if inline in ("binary", "gray"):
-                self._host["scales_bits_inline"] = sect("scales_bits").reshape(g.brq_h, brq_row)
-                if inline == "binary":
-                    self._host["ocr_bits_inline"] = sect("ocr_bits").reshape(g.brq_h, brq_row)
-                else:
-                    self._host["ocr_img_inline"] = sect("ocr_img").reshape(g.brq_h, g.brq_w)
+                # Band transport state for the scales consumers:
+                #   None                  -> sections are full-height images
+                #   (band, b0, textless)  -> sections are a row band at b0
+                #   "miss"                -> band too small; use scalespack
+                self._host["scales_band"] = None
+                rows = g.brq_h
+                parse = True
+                if band is not None:
+                    rows = band
+                    oy0, oy1, b0 = (int(v) for v in sect("scales_meta").view(np.int32))
+                    if oy0 >= oy1:  # no text pixels: empty canvases are exact
+                        self._host["scales_band"] = (band, 0, True)
+                        parse = False
+                    else:
+                        budget = ops_pipeline.scales_scan_budget(g.brq_w)
+                        need_end = min(oy1 + budget, g.brq_h)
+                        if b0 + band >= need_end:
+                            self._host["scales_band"] = (band, b0, False)
+                            # shrink hysteresis: sustained small text bands
+                            want = self._rung_for(_dim_ladder(g.brq_h), need_end - oy0)
+                            if want < self._band_rung:
+                                self._band_streak += 1
+                                if self._band_streak >= _SHRINK_AFTER:
+                                    self._band_rung -= 1
+                                    self._band_streak = 0
+                            else:
+                                self._band_streak = 0
+                        else:
+                            # text rows outgrew the band: fall back to the
+                            # device-resident full images and escalate.
+                            self.stats["scales_band_misses"] += 1
+                            self._band_rung = min(self._band_rung + 1, 3)
+                            self._band_streak = 0
+                            self._host["scales_band"] = "miss"
+                            parse = False
+                if parse:
+                    self._host["scales_bits_inline"] = sect("scales_bits").reshape(rows, brq_row)
+                    if inline == "binary":
+                        self._host["ocr_bits_inline"] = sect("ocr_bits").reshape(rows, brq_row)
+                    else:
+                        self._host["ocr_img_inline"] = sect("ocr_img").reshape(rows, g.brq_w)
             # Transport adaptation: unchanged checksums (static map) drop the
             # inline images from future packs; any change flips them back in.
             if check == self._scales_last_check:
@@ -354,7 +468,7 @@ class TpuBackend:
             self._host["lsd_offset"] = (0, 0)
             self._host["lsd_crop_shape"] = (0, 0)
             self._march_max_len = 0.0
-            if self._ladder is not None:
+            if self._ladder_h is not None:
                 self._adapt_rung(0, 0)
         else:
             m = ops_pipeline.LSD_CROP_MARGIN
@@ -375,7 +489,7 @@ class TpuBackend:
                 self._host["lsd_crop_bits"] = np.asarray(self._results["lsd_bits"])
                 self._host["lsd_offset"] = (0, 0)
                 self._host["lsd_crop_shape"] = (g.map_h, g.map_w)
-            if self._ladder is not None:
+            if self._ladder_h is not None:
                 self._adapt_rung(y1 - y0, x1 - x0)
 
         if self._debug:
@@ -452,63 +566,18 @@ class TpuBackend:
     def _fetch_scalespack(self) -> np.ndarray:
         if self._scalespack_host is None:
             assert self._results is not None and "scalespack" in self._results, (
-                "scales branch consumed but dispatch ran with scales disabled"
+                "scales branch consumed but dispatch packed no scales transport"
             )
             self._scalespack_host = np.asarray(self._results["scalespack"])
             self.stats["scalespack_fetches"] += 1
         return self._scalespack_host
 
-    def snapshot_scales_job(self) -> Optional[dict]:
-        """Self-contained handle for an async scales branch: checksum + a
-        fetch closure over THIS frame's device arrays (immutable), safe to
-        run while later frames dispatch."""
-        if self._host is None or "scales_check" not in self._host:
-            return None
-        g = self.geom
-        host = self._host
-        brq_h, brq_w = g.brq_h, g.brq_w
-
-        if "scales_bits_inline" in host:
-            # Inline transport: both images are already on the host — the
-            # "fetch" is pure unpacking, zero extra D2H.
-            sb = host["scales_bits_inline"]
-            ob = host.get("ocr_bits_inline")
-            oi = host.get("ocr_img_inline")
-
-            def fetch_inline() -> tuple[np.ndarray, np.ndarray]:
-                scales_img = ops_pipeline.unpack_bits_host(sb, brq_w) * np.uint8(255)
-                if oi is not None:
-                    return oi, scales_img
-                return ops_pipeline.binary_ocr_image_host(ob, brq_w), scales_img
-
-            return {"check": host["scales_check"], "fetch": fetch_inline}
-
-        results = self._results
-        layout = ops_pipeline.scalespack_layout(g.map_h, g.map_w)
-
-        def fetch() -> tuple[np.ndarray, np.ndarray]:
-            pack = np.asarray(results["scalespack"])
-            so, ss = layout["scales_bits"]
-            oo, os_ = layout["ocr_img"]
-            scales_img = (
-                ops_pipeline.unpack_bits_host(
-                    pack[so : so + ss].reshape(brq_h, (brq_w + 7) // 8), brq_w
-                )
-                * np.uint8(255)
-            )
-            ocr_img = pack[oo : oo + os_].reshape(brq_h, brq_w)
-            return ocr_img, scales_img
-
-        return {"check": host["scales_check"], "fetch": fetch}
-
     def ocr_preprocess(self) -> np.ndarray:
         assert self.geom is not None
         g = self.geom
-        host = self._host or {}
-        if "ocr_img_inline" in host:
-            return host["ocr_img_inline"]
-        if "ocr_bits_inline" in host:
-            return ops_pipeline.binary_ocr_image_host(host["ocr_bits_inline"], g.brq_w)
+        img = _ocr_image_from_host(self._host or {}, g)
+        if img is not None:
+            return img
         layout = ops_pipeline.scalespack_layout(g.map_h, g.map_w)
         off, size = layout["ocr_img"]
         return self._fetch_scalespack()[off : off + size].reshape(g.brq_h, g.brq_w)
@@ -517,13 +586,41 @@ class TpuBackend:
         """Returns the binarized BRQ as 0/255 u8 (bit-unpacked)."""
         assert self.geom is not None
         g = self.geom
-        host = self._host or {}
-        if "scales_bits_inline" in host:
-            return ops_pipeline.unpack_bits_host(host["scales_bits_inline"], g.brq_w) * np.uint8(255)
+        img = _scales_image_from_host(self._host or {}, g)
+        if img is not None:
+            return img
         layout = ops_pipeline.scalespack_layout(g.map_h, g.map_w)
         off, size = layout["scales_bits"]
         bits = self._fetch_scalespack()[off : off + size].reshape(g.brq_h, (g.brq_w + 7) // 8)
         return ops_pipeline.unpack_bits_host(bits, g.brq_w) * np.uint8(255)
+
+    def snapshot_scales_job(self) -> Optional[dict]:
+        """Self-contained handle for an async scales branch: checksum + a
+        fetch closure over THIS frame's host sections / device arrays (both
+        immutable snapshots), safe to run while later frames dispatch."""
+        if self._host is None or "scales_check" not in self._host:
+            return None
+        g = self.geom
+        host = self._host  # captured: adopt_job replaces, never mutates
+        results = self._results
+        stats = self.stats
+        layout = ops_pipeline.scalespack_layout(g.map_h, g.map_w)
+
+        def fetch() -> tuple[np.ndarray, np.ndarray]:
+            ocr_img = _ocr_image_from_host(host, g)
+            scales_img = _scales_image_from_host(host, g)
+            if ocr_img is None or scales_img is None:
+                pack = np.asarray(results["scalespack"])
+                stats["scalespack_fetches"] += 1
+                so, ss = layout["scales_bits"]
+                oo, os_ = layout["ocr_img"]
+                scales_img = ops_pipeline.unpack_bits_host(
+                    pack[so : so + ss].reshape(g.brq_h, (g.brq_w + 7) // 8), g.brq_w
+                ) * np.uint8(255)
+                ocr_img = pack[oo : oo + os_].reshape(g.brq_h, g.brq_w)
+            return ocr_img, scales_img
+
+        return {"check": host["scales_check"], "fetch": fetch}
 
     # -- markers branch ---------------------------------------------------------
 

@@ -54,19 +54,20 @@ def lines_tuples(lines):
 
 def force_full(be: TpuBackend):
     """A backend pinned to the full-mask window (= round-1 behaviour)."""
-    be._ladder = None
     be.load_frame(small_lines_frame())  # init geom
     from smh_tpu.vision import tpu_backend as tb
 
-    be._ladder = tb._lsd_ladder(be.geom.map_h, be.geom.map_w)
-    be._rung = len(be._ladder) - 1
+    be._ladder_h = tb._dim_ladder(be.geom.map_h)
+    be._ladder_w = tb._dim_ladder(be.geom.map_w)
+    be._rung_h = len(be._ladder_h) - 1
+    be._rung_w = len(be._ladder_w) - 1
     return be
 
 
 def test_windowed_crop_equals_full_mask_detection():
     frame = small_lines_frame()
     be_win = TpuBackend()
-    be_win._rung = 1  # half window: the small line fits
+    be_win._rung_h = be_win._rung_w = 1  # half window: the small line fits
     lines_win = detect(be_win, frame)
     assert be_win.stats["lsd_window_misses"] == 0
     assert be_win._host["lsd_crop_shape"] != (be_win.geom.map_h, be_win.geom.map_w)
@@ -81,11 +82,10 @@ def test_windowed_crop_equals_full_mask_detection():
 def test_window_miss_falls_back_and_escalates():
     frame = spanning_lines_frame()
     be = TpuBackend()
-    be._rung = 0  # quarter window: spanning lines cannot fit
-    rung_before = be._rung
+    be._rung_h = be._rung_w = 0  # quarter window: spanning lines cannot fit
     lines = detect(be, frame)
     assert be.stats["lsd_window_misses"] == 1
-    assert be._rung > rung_before  # escalated for the next frame
+    assert be._rung_h > 0 and be._rung_w > 0  # escalated for the next frame
 
     be_full = force_full(TpuBackend())
     lines_full = detect(be_full, frame)
@@ -197,13 +197,14 @@ def test_rung_shrinks_after_streak():
 
     be = TpuBackend()
     frame = small_lines_frame()
-    be._rung = 2  # oversized window for this bbox
+    be._rung_h = be._rung_w = 2  # oversized window for this bbox
     detect(be, frame)
-    assert be._rung == 2  # no immediate shrink
+    assert (be._rung_h, be._rung_w) == (2, 2)  # no immediate shrink
     for _ in range(tb._SHRINK_AFTER):
         be.dispatch()
         be.crop_to_map(True)
-    assert be._rung == 1  # one rung at a time after a sustained streak
+    # one rung at a time after a sustained streak, per dimension
+    assert be._rung_h == 1 and be._rung_w <= 2
 
 
 def test_binary_ocr_threshold_matches_smhocr():
@@ -273,3 +274,96 @@ def test_contract_march_methods_work_without_mask_output():
     line, len_sqr = be.find_longest_line(None, Point(121.0, 151.0), 15.0)
     assert len_sqr > 2500  # the drawn marker line is found
     assert "lsd_mask" in be._results  # rebuilt on device and cached
+
+
+# ---- OCR text-row band transport (real engine; smhocr derives from pixels) --
+
+
+def textful_frame(off=0, extra_text=()):
+    return testing.make_frame(
+        W, H,
+        marker_lines=[((120 + off, 150), (380 + off, 320))],
+        scale_texts=[("300m", (60, 170))] + list(extra_text),
+        scale_bars=[(60, 200, 120, 1)],
+    )
+
+
+def smhocr_state():
+    pytest.importorskip("scipy")
+    from smh_tpu.ocr.smhocr import SmhOcrEngine
+
+    state = VisionState(settings=Settings(path=None), ocr_engine=SmhOcrEngine())
+    state.settings.set("hardware_acceleration", True)
+    return state
+
+
+def test_scales_band_transport_exact_with_real_engine():
+    state = smhocr_state()
+    r = state.process(Frame(textful_frame(), 96))
+    be = state.delegate.backend
+    assert r is not None
+    assert r.meters_to_px_ratio == pytest.approx(300.0 / 118.0)
+    # band transport was active and sufficient: no fallback fetch
+    assert be._dispatch_flags[7] is not None  # a band was packed
+    assert isinstance(be._host["scales_band"], tuple)
+    assert be.stats["scales_band_misses"] == 0
+    assert be.stats["scalespack_fetches"] == 0
+
+    # full-transport reference: same frame through a band-less backend
+    # (engine flagged non-image-derived keeps full-height inline sections)
+    state2 = smhocr_state()
+    state2.ocr_engine.image_derived = False
+    r2 = state2.process(Frame(textful_frame(), 96))
+    assert state2.delegate.backend._dispatch_flags[7] is None  # no band
+    assert r2 is not None and r2.meters_to_px_ratio == r.meters_to_px_ratio
+    state.close()
+    state2.close()
+
+
+def test_scales_band_miss_falls_back_and_escalates():
+    state = smhocr_state()
+    # Text at the very top AND bottom of the BRQ: no quarter/half band fits.
+    g = C.map_geometry(W, H)
+    frame = textful_frame(extra_text=[("900m", (60, g.brq_h - 40))])
+    # second bar for the 900m text so both scales resolve
+    frame2 = testing.make_frame(
+        W, H,
+        marker_lines=[((120, 150), (380, 320))],
+        scale_texts=[("300m", (60, 170)), ("900m", (400, g.brq_h - 60))],
+        scale_bars=[(60, 200, 120, 1)],
+    )
+    r = state.process(Frame(frame2, 96))
+    be = state.delegate.backend
+    assert r is not None
+    # the band (started at 1/2 brq) cannot cover top..bottom text: fallback
+    assert be.stats["scales_band_misses"] >= 1
+    assert be.stats["scalespack_fetches"] >= 1
+    assert be._band_rung > 1  # escalated
+    # ratio still correct (from the full-resolution fallback): 300/118
+    # averaged with whatever the 900m text resolves to (it has no bar -> no
+    # contribution), so exactly 300/118.
+    assert r.meters_to_px_ratio == pytest.approx(300.0 / 118.0)
+    state.close()
+
+
+def test_scales_band_textless_is_exact_and_fetch_free():
+    state = smhocr_state()
+    frame = testing.make_frame(W, H, marker_lines=[((120, 150), (380, 320))])
+    r = state.process(Frame(frame, 96))
+    be = state.delegate.backend
+    assert r is not None and r.meters_to_px_ratio is None
+    band = be._host["scales_band"]
+    assert isinstance(band, tuple) and band[2] is True  # textless
+    assert be.stats["scalespack_fetches"] == 0
+    state.close()
+
+
+def test_fake_engine_disables_band_transport():
+    ocr = FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)])
+    state = VisionState(settings=Settings(path=None), ocr_engine=ocr)
+    state.settings.set("hardware_acceleration", True)
+    r = state.process(Frame(small_lines_frame(), 96))
+    be = state.delegate.backend
+    assert r is not None and r.meters_to_px_ratio is not None
+    assert be._dispatch_flags[7] is None  # no band: canned bboxes roam free
+    state.close()
