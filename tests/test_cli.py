@@ -58,3 +58,42 @@ def test_cli_rip_and_export(tmp_path):
         "--cache-dir", str(tmp_path / "cache"),
     )
     assert r2.returncode == 0, r2.stderr
+
+
+def test_cli_video_source(tmp_path):
+    """--video feeds a recording through the full app (headless web off)."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    sys.path.insert(0, str(REPO))
+    from smh_tpu import testing
+
+    path = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (1280, 720))
+    assert writer.isOpened()
+    for i in range(3):
+        f = testing.make_frame(1280, 720, marker_lines=[((100 + i, 100), (420, 300))])
+        writer.write(np.ascontiguousarray(f[..., :3]))
+    writer.release()
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "smh_tpu.app", "--video", path, "--no-web",
+         "--backend", "numpy", "--settings", str(tmp_path / "s.json")],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu", "HOME": "/root",
+             "PYTHONPATH": str(REPO)},
+    )
+    time.sleep(10)
+    proc.send_signal(signal.SIGINT)
+    out, err = proc.communicate(timeout=30)
+    assert proc.returncode == 0, err
+    assert "error processing frame" not in err
+
+
+def test_cli_screen_source_fails_cleanly_headless(tmp_path):
+    r = run_cli("--screen", "--no-web", "--backend", "numpy",
+                "--settings", str(tmp_path / "s.json"), timeout=60)
+    assert r.returncode != 0
+    assert "screen capture" in (r.stderr + r.stdout)
