@@ -344,6 +344,13 @@ def _build_source(args):
 
 
 def main(argv=None) -> int:
+    # Persistent XLA compile cache: the fused pass re-compiles per resolution
+    # bucket, and a cold compile through a remote compile service can take
+    # minutes — the cache turns later launches into second-scale starts.
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+
     ap = argparse.ArgumentParser(description="Squad Mortar Helper (TPU-native)")
     src = ap.add_mutually_exclusive_group()
     src.add_argument("--image", help="use a single screenshot as the frame source")

@@ -30,9 +30,11 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
     for w, h in resolutions:
         t0 = time.time()
         be = TpuBackend()
-        # Default engines (smhocr / canned fakes) are binary_ok; warm that
-        # transport. (A grayscale engine's buckets compile on first use.)
+        # Default engines (smhocr) are binary_ok and image-derived; warm that
+        # transport incl. the OCR text-row band buckets. (A grayscale
+        # engine's buckets compile on first use.)
         be.scales_binary_ok = True
+        be.scales_image_derived = True
         frame = testing.make_frame(w, h, marker_lines=[((50, 50), (200, 120))])
         be.load_frame(frame)
         out = be.crop_to_map(grayscale)
@@ -48,6 +50,12 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
                 be.dispatch(grayscale)
                 be.crop_to_map(grayscale)
             be._rung_h = be._rung_w = 1
+        # Band-rung buckets (the band ladder adapts at runtime).
+        for band_rung in (0, 2):
+            be._band_rung = band_rung
+            be.dispatch(grayscale)
+            be.crop_to_map(grayscale)
+        be._band_rung = 1
         # Scales-transport variants the live loop flips between: inline
         # ("binary" warmed above) and checksum-only ("none" — entered after
         # a few stable frames on any static map).

@@ -102,6 +102,11 @@ def make_frame(
                 break
             except OSError:
                 continue
+        if font is None:
+            # PIL's default bitmap font renders ~10 px glyphs the smhocr
+            # templates cannot match — failing silently would make frames
+            # textless and send callers debugging the wrong layer.
+            raise RuntimeError("scale_texts needs DejaVu Sans installed")
         for text, (tx, ty) in scale_texts:
             img = Image.new("L", (20 * len(text) + 8, 30), 0)
             d = ImageDraw.Draw(img)

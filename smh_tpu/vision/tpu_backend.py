@@ -178,9 +178,13 @@ class TpuBackend:
         self._scales_stable = 0
         # OCR text-row band: the inline scales/OCR sections carry only the
         # rows around the keep-mask bbox + the bar-scan budget (exact — see
-        # ops/pipeline.scales_scan_budget). Own rung ladder over brq_h.
+        # ops/pipeline.scales_scan_budget). Own rung ladder over brq_h;
+        # _band_probation re-probes a smaller band after the ladder maxed out
+        # (otherwise a single pathological frame would disable banding for
+        # the whole session).
         self._band_rung = 1
         self._band_streak = 0
+        self._band_probation = 0
         # Minimap quiet mask cadence: the driver may skip it on frames where
         # it reuses cached minimap bounds (bounds only move on zoom changes).
         self.quiet_enabled = True
@@ -255,13 +259,24 @@ class TpuBackend:
         """Static OCR row-band height for the next dispatch (None = full)."""
         if not self.scales_image_derived:
             return None  # canned engines: bboxes may point anywhere
+        if self._debug:
+            return None  # debug views want the true full-height binarize
         g = self.geom
         brq_bits = g.brq_h * ((g.brq_w + 7) // 8)
         if brq_bits <= 4 * 1024:  # tiny test frames: banding can't pay
             return None
         ladder = _dim_ladder(g.brq_h)
         band = ladder[min(self._band_rung, len(ladder) - 1)]
-        return None if band >= g.brq_h else band
+        if band >= g.brq_h:
+            # Ladder maxed out: periodically re-probe a smaller band so one
+            # pathological frame can't disable banding for the session.
+            self._band_probation += 1
+            if self._band_probation >= _SHRINK_AFTER:
+                self._band_probation = 0
+                self._band_rung = len(ladder) - 2
+            return None
+        self._band_probation = 0
+        return band
 
     @staticmethod
     def _rung_for(ladder: list[int], need: int) -> int:
@@ -437,9 +452,11 @@ class TpuBackend:
                                 self._band_streak = 0
                         else:
                             # text rows outgrew the band: fall back to the
-                            # device-resident full images and escalate.
+                            # device-resident full images and escalate
+                            # straight to the rung that would have fit.
                             self.stats["scales_band_misses"] += 1
-                            self._band_rung = min(self._band_rung + 1, 3)
+                            want = self._rung_for(_dim_ladder(g.brq_h), need_end - oy0)
+                            self._band_rung = max(self._band_rung + 1, want)
                             self._band_streak = 0
                             self._host["scales_band"] = "miss"
                             parse = False
@@ -602,15 +619,25 @@ class TpuBackend:
             return None
         g = self.geom
         host = self._host  # captured: adopt_job replaces, never mutates
-        results = self._results
         stats = self.stats
         layout = ops_pipeline.scalespack_layout(g.map_h, g.map_w)
+        # Only pin the device scalespack when a fallback is actually possible
+        # (band miss / no inline sections) — capturing the whole results dict
+        # would keep every device buffer of this frame alive for the worker.
+        band = host.get("scales_band")
+        textless = isinstance(band, tuple) and band[2]
+        has_inline = "scales_bits_inline" in host and (
+            "ocr_bits_inline" in host or "ocr_img_inline" in host
+        )
+        needs_fallback = band == "miss" or not (textless or has_inline)
+        spack_dev = self._results.get("scalespack") if needs_fallback else None
 
         def fetch() -> tuple[np.ndarray, np.ndarray]:
             ocr_img = _ocr_image_from_host(host, g)
             scales_img = _scales_image_from_host(host, g)
             if ocr_img is None or scales_img is None:
-                pack = np.asarray(results["scalespack"])
+                assert spack_dev is not None, "fallback needed but not captured"
+                pack = np.asarray(spack_dev)
                 stats["scalespack_fetches"] += 1
                 so, ss = layout["scales_bits"]
                 oo, os_ = layout["ocr_img"]

@@ -324,8 +324,6 @@ def test_scales_band_miss_falls_back_and_escalates():
     state = smhocr_state()
     # Text at the very top AND bottom of the BRQ: no quarter/half band fits.
     g = C.map_geometry(W, H)
-    frame = textful_frame(extra_text=[("900m", (60, g.brq_h - 40))])
-    # second bar for the 900m text so both scales resolve
     frame2 = testing.make_frame(
         W, H,
         marker_lines=[((120, 150), (380, 320))],
