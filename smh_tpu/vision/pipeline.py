@@ -555,6 +555,15 @@ class VisionLoop:
 
     def stop(self) -> None:
         self._shutdown.set()
+        joined = True
         if self._thread is not None:
             self._thread.join(timeout=5.0)
-        self.state.close()
+            joined = not self._thread.is_alive()
+        if joined:
+            self.state.close()
+        else:
+            # The vision thread is stuck in a long device call (first-frame
+            # compiles can take minutes): closing the branch pool under it
+            # would cascade "cannot schedule new futures" errors. Leave the
+            # daemon thread to finish/die with the process.
+            log.warning("vision thread still busy at stop(); leaving state open")
