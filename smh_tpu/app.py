@@ -278,6 +278,36 @@ class App:
         if path == "/api/fit":
             self.set_fit_to_minimap(query.get("on", "0") in ("1", "true"))
             return 200, {"ok": True, "fit_to_minimap": self.fit_to_minimap}
+        if path == "/api/debug-view":
+            # The reference's "Computer Vision Outputs" debug window
+            # (vision-common/src/debug.rs:33-52, backends' get_debug_view):
+            # serve any intermediate pipeline image as a PNG. Costs a device
+            # fetch + a re-dispatch with intermediates on the next frame.
+            from io import BytesIO
+
+            from PIL import Image
+
+            from .vision.reference import DebugView
+
+            name = query.get("choice", "LSD_INPUT").upper()
+            try:
+                choice = DebugView[name]
+            except KeyError:
+                return 400, {"error": f"unknown view {name}", "choices": [v.name for v in DebugView]}
+            backend = self.state.delegate.backend
+            if backend is None:
+                return 404, {"error": "no frames processed yet"}
+            if hasattr(backend, "set_debug"):
+                backend.set_debug(True)  # materialize intermediates from now on
+            img = backend.get_debug_view(choice)
+            if img is None:
+                return 404, {
+                    "error": f"{name} not available yet (debug intermediates "
+                    "materialize from the next frame on)",
+                }
+            buf = BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            return 200, ("image/png", buf.getvalue())
         return 404, {"error": f"unknown endpoint {path}"}
 
     # -- heightmap selection (src/ui/heightmaps.rs:590-593) ------------------

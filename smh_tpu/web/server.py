@@ -257,6 +257,9 @@ class WebServer:
         except Exception as e:  # handler bugs must not kill the server
             log.exception("api handler failed for %s", path)
             status, obj = 500, {"error": str(e)}
+        if isinstance(obj, tuple) and len(obj) == 2 and isinstance(obj[1], (bytes, bytearray)):
+            ctype, body = obj[0], bytes(obj[1])  # raw payload (e.g. a PNG)
+            return self._http_head(status, ctype, body) + body
         body = json.dumps(obj).encode()
         return self._http_head(status, "application/json", body) + body
 

@@ -102,3 +102,37 @@ def test_graft_entry_dryrun_from_dirty_jax_state():
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "dryrun_multichip OK" in proc.stdout
+
+
+def test_batch_packed_sharded_matches_unsharded(mesh8):
+    """The PRODUCTION packed dispatch (windowed crop + inline band sections)
+    sharded over the dp axis must produce byte-identical hostpacks to the
+    unsharded run — the multi-chip throughput mode is the same compiled
+    program, just laid out over the mesh."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from smh_tpu import testing
+    from smh_tpu.ops import pipeline as ops_pipeline
+    from smh_tpu.vision.tpu_backend import _pack_rois_bgr
+
+    w, h = 320, 200
+    g = C.map_geometry(w, h)
+    rois = []
+    for i in range(8):
+        f = testing.make_frame(w, h, marker_lines=[((10 + i, 10), (60 + i, 40))])
+        m = f[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w]
+        b = f[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w]
+        rois.append(_pack_rois_bgr(m, b))
+    rois = np.stack(rois)
+
+    kwargs = dict(
+        map_h=g.map_h, map_w=g.map_w, btn_h=g.btn_h, btn_w=g.btn_w,
+        grayscale=True, with_ocr=True, channels=3,
+    )
+    plain = ops_pipeline._analyze_batch_packed(jnp.asarray(rois), **kwargs)
+    sharded_in = jax.device_put(rois, NamedSharding(mesh8, P("dp")))
+    sharded = ops_pipeline._analyze_batch_packed(sharded_in, **kwargs)
+
+    assert (np.asarray(plain["hostpack"]) == np.asarray(sharded["hostpack"])).all()
+    assert (np.asarray(plain["lsd_bits"]) == np.asarray(sharded["lsd_bits"])).all()

@@ -218,3 +218,35 @@ def test_client_page_structure():
         "hmPlacement",            # shared heightmap projection math
     ):
         assert needle in script, f"missing client feature: {needle}"
+
+
+def test_debug_view_endpoint(demo_app):
+    """/api/debug-view serves intermediate pipeline images as PNGs (the
+    reference's Computer Vision Outputs debug window)."""
+    import io
+    import urllib.error
+
+    from PIL import Image
+
+    # unknown view name -> 400 with the available choices
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get_json("http://127.0.0.1:18773/api/debug-view?choice=NOPE")
+    assert e.value.code == 400
+
+    # first request flips debug-materialization on; the image may need a
+    # frame or two to exist (StaticSource delivers once, so poke fake_input)
+    deadline = time.time() + 60
+    png = None
+    while time.time() < deadline and png is None:
+        try:
+            r = urllib.request.urlopen(
+                "http://127.0.0.1:18773/api/debug-view?choice=LSD_INPUT", timeout=5
+            )
+            if r.headers.get("Content-Type") == "image/png":
+                png = r.read()
+        except urllib.error.HTTPError:
+            demo_app.loop.fake_input = demo_app.capture._source._frame  # re-feed
+            time.sleep(0.3)
+    assert png is not None, "debug view never materialized"
+    img = Image.open(io.BytesIO(png))
+    assert img.size[0] > 10 and img.size[1] > 10
