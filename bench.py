@@ -282,10 +282,12 @@ def main() -> None:
 
         profile_cm = contextlib.nullcontext()
 
+    backend = state.delegate.backend
+    stats0 = dict(getattr(backend, "stats", {}))
     with profile_cm:
         p50, p90, rep_p50s = measure_process_p50(state, frames, iters, reps)
-    backend = state.delegate.backend
     stats = dict(getattr(backend, "stats", {}))
+    measured = {k: stats[k] - stats0.get(k, 0) for k in stats}
 
     # Steady-state critical-path payload for the flags/window just used.
     from smh_tpu import consts as C
@@ -337,6 +339,13 @@ def main() -> None:
         "scales_band_misses": stats.get("scales_band_misses"),
         "scalespack_fetches": stats.get("scalespack_fetches"),
         "frames_measured": stats.get("frames"),
+        "delta_frames": measured.get("delta_frames"),
+        "full_uploads": measured.get("full_uploads"),
+        "h2d_bytes_per_frame": (
+            round(measured["h2d_bytes"] / max(1, measured.get("frames", 0)))
+            if measured.get("h2d_bytes") is not None
+            else None
+        ),
         "iters": iters,
         "reps": reps,
         "markers_detected": markers_detected,

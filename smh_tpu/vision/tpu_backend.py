@@ -62,16 +62,51 @@ except Exception:  # pragma: no cover - cv2 is in the image, but stay optional
 
 ROI_CHANNELS = 3  # the alpha byte is never read; dropping it cuts H2D 25%
 
+# -- delta H2D transport ------------------------------------------------------
+# The ROI buffer stays device-resident; per-frame H2D ships only the chunks
+# whose bytes changed (exact reconstruction via scatter — see
+# ops/pipeline._analyze_delta_flat). Consumed-H2D moves at ~40-120 MB/s on
+# this host link, so at 4K the full 9.8 MB upload dominates the frame; a
+# typical live-play change (marker drag, UI tick) is a few hundred KB.
+_DELTA_CHUNK = 128  # bytes per chunk (one VPU lane row; measured sweet spot:
+# a marker-line drag at 4K changes ~670 chunks x 128 B ~ 86 KB vs ~1 MB at
+# 1 KB chunks, while the u64-view host diff stays ~6 ms)
+_DELTA_MIN_BYTES = 1 << 20  # below this a full upload is already cheap
+_DELTA_MAX_FRACTION = 0.5  # more change than this -> full upload (panning)
+# Chunk-count buckets (x2 ladder): each bucket is its own jit trace, so the
+# ladder trades upload padding (<=2x) for a bounded compile count (only the
+# 1-2 buckets a scene actually visits ever compile).
+_DELTA_BUCKETS = tuple(16 << i for i in range(14))
 
-def _pack_rois_bgr(map_roi: np.ndarray, btn_roi: np.ndarray) -> np.ndarray:
+
+def _delta_bucket(n: int, n_chunks: int) -> Optional[int]:
+    """Smallest ladder bucket holding n changed chunks, or None when the
+    bucketed upload would not materially undercut a full upload."""
+    for b in _DELTA_BUCKETS:
+        if n <= b:
+            if b >= n_chunks * _DELTA_MAX_FRACTION:
+                return None
+            return b
+    return None
+
+
+def _pack_rois_bgr(
+    map_roi: np.ndarray, btn_roi: np.ndarray, pad_to: int = 0
+) -> np.ndarray:
     """Flatten both BGRA ROI views into one BGR u8 upload buffer. Fresh
     buffer per frame (device_put reads host memory lazily); shaped copies
-    (strided reshape(-1) assignment is a ~100 MB/s numpy slow path)."""
+    (strided reshape(-1) assignment is a ~100 MB/s numpy slow path).
+    pad_to > 0 rounds the buffer up to a multiple of pad_to with zeroed tail
+    bytes (the delta transport's chunk grid; the fused pass never reads past
+    map+btn)."""
     mh, mw = map_roi.shape[:2]
     bh, bw = btn_roi.shape[:2]
-    packed = np.empty(mh * mw * 3 + bh * bw * 3, dtype=np.uint8)
+    used = mh * mw * 3 + bh * bw * 3
+    total = used if pad_to <= 0 else ((used + pad_to - 1) // pad_to) * pad_to
+    packed = np.empty(total, dtype=np.uint8)
+    packed[used:] = 0
     mdst = packed[: mh * mw * 3].reshape(mh, mw, 3)
-    bdst = packed[mh * mw * 3 :].reshape(bh, bw, 3)
+    bdst = packed[mh * mw * 3 : used].reshape(bh, bw, 3)
     if _cv2 is not None:
         _cv2.cvtColor(map_roi, _cv2.COLOR_BGRA2BGR, dst=mdst)
         _cv2.cvtColor(btn_roi, _cv2.COLOR_BGRA2BGR, dst=bdst)
@@ -158,7 +193,23 @@ class TpuBackend:
             "scalespack_fetches": 0,
             "scales_band_misses": 0,
             "frames": 0,
+            "delta_frames": 0,
+            "full_uploads": 0,
+            "h2d_bytes": 0,
         }
+        # Delta H2D transport chain (SMH_DELTA: auto|0|1; 1 forces it even
+        # for tiny frames — used by tests):
+        #   _resident      device flat ROI buffer matching the LAST DISPATCH
+        #   _mirror        host copy of _resident's contents (diff base)
+        #   _pending       what dispatch() must upload-apply for this frame
+        #   _pending_host  host packed buffer of the loaded frame
+        import os as _os
+
+        self.delta_mode = _os.environ.get("SMH_DELTA", "auto")
+        self._resident: Optional[jax.Array] = None
+        self._mirror: Optional[np.ndarray] = None
+        self._pending: Optional[tuple] = None
+        self._pending_host: Optional[np.ndarray] = None
         # The driver disables this when a heightmap supplies distances or no
         # OCR engine exists: the OCR image then never leaves the device.
         self.scales_enabled = True
@@ -205,6 +256,13 @@ class TpuBackend:
         """No-op: JAX owns device contexts (the reference needed per-thread
         CUDA context binding, vision-gpu/src/cuda.rs:5-13)."""
 
+    def _delta_active(self, total_bytes: int) -> bool:
+        if self.delta_mode in ("0", "off"):
+            return False
+        if self.delta_mode in ("1", "on"):
+            return True
+        return total_bytes >= _DELTA_MIN_BYTES
+
     def load_frame(self, frame_bgra: np.ndarray) -> None:
         assert frame_bgra.dtype == np.uint8 and frame_bgra.shape[2] == 4
         h, w = frame_bgra.shape[:2]
@@ -212,6 +270,8 @@ class TpuBackend:
             self.geom = C.map_geometry(w, h)
             self._ladder_h = None
             self._ladder_w = None
+            self._resident = None  # resolution change: restart the chain
+            self._mirror = None
         g = self.geom
         self.frame_np = frame_bgra
         # Upload only the ROIs the pipeline reads (map + close-button), as
@@ -225,8 +285,46 @@ class TpuBackend:
         # each other's pixels — caught by test_pipelined_matches_sync).
         map_roi = frame_bgra[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w]
         btn_roi = frame_bgra[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w]
-        packed = _pack_rois_bgr(map_roi, btn_roi)
-        self.rois_dev = jax.device_put(packed)
+        packed = _pack_rois_bgr(map_roi, btn_roi, pad_to=_DELTA_CHUNK)
+
+        # Delta H2D: diff against the HOST MIRROR of the device-resident
+        # buffer (not simply the previous frame — a loaded-but-never-
+        # dispatched frame must not poison the chain base) and ship only the
+        # changed chunks. The u64 view compares 8 bytes per element; padding
+        # made the buffer 8-divisible.
+        delta = None
+        if (
+            self._delta_active(packed.size)
+            and self._mirror is not None
+            and self._mirror.size == packed.size
+            and self._resident is not None
+        ):
+            n_chunks = packed.size // _DELTA_CHUNK
+            diff = (
+                packed.view(np.uint64).reshape(n_chunks, -1)
+                != self._mirror.view(np.uint64).reshape(n_chunks, -1)
+            ).any(axis=1)
+            changed = np.flatnonzero(diff).astype(np.int32)
+            if changed.size == 0:
+                changed = np.zeros(1, dtype=np.int32)  # flags may still differ
+            bucket = _delta_bucket(int(changed.size), n_chunks)
+            if bucket is not None:
+                idx = np.empty(bucket, dtype=np.int32)
+                idx[: changed.size] = changed
+                idx[changed.size :] = changed[-1]  # repeat: same data, no-op
+                buf = np.empty(4 * bucket + bucket * _DELTA_CHUNK, dtype=np.uint8)
+                buf[: 4 * bucket].view(np.int32)[:] = idx
+                chunks2d = packed.reshape(n_chunks, _DELTA_CHUNK)
+                data = buf[4 * bucket :].reshape(bucket, _DELTA_CHUNK)
+                data[: changed.size] = chunks2d[changed]
+                data[changed.size :] = chunks2d[changed[-1]]
+                delta = (jax.device_put(buf), bucket, buf.size)
+
+        if delta is not None:
+            self._pending = ("delta", *delta)
+        else:
+            self._pending = ("full", jax.device_put(packed), packed.size)
+        self._pending_host = packed
         self._results = None
         self._host = None
         self._scalespack_host = None
@@ -316,7 +414,7 @@ class TpuBackend:
         the device finishes; the hostpack fetch in crop_to_map blocks).
         Separated from crop_to_map so a pipelined loop can overlap frame
         N+1's upload+dispatch with frame N's fetch + host stages."""
-        assert self.rois_dev is not None and self.geom is not None
+        assert (self.rois_dev is not None or self._pending is not None) and self.geom is not None
         if grayscale is not None:
             self._grayscale = grayscale
         g = self.geom
@@ -339,8 +437,7 @@ class TpuBackend:
             inline,
             band,
         )
-        self._results = ops_pipeline._analyze_packed_flat(
-            self.rois_dev,
+        kw = dict(
             map_h=g.map_h,
             map_w=g.map_w,
             btn_h=g.btn_h,
@@ -356,6 +453,27 @@ class TpuBackend:
             channels=ROI_CHANNELS,
             scales_band=band,
         )
+        pending, self._pending = self._pending, None
+        if pending is not None and pending[0] == "delta":
+            _, buf_dev, bucket, nbytes = pending
+            out = ops_pipeline._analyze_delta_flat(
+                self._resident, buf_dev, bucket=bucket, chunk=_DELTA_CHUNK, **kw
+            )
+            self._resident = out.pop("resident")
+            self.rois_dev = self._resident
+            self._results = out
+            self._mirror = self._pending_host
+            self.stats["delta_frames"] += 1
+            self.stats["h2d_bytes"] += nbytes
+            return
+        if pending is not None:  # full upload: the put buffer seeds the chain
+            _, self.rois_dev, nbytes = pending
+            self._resident = self.rois_dev
+            self._mirror = self._pending_host
+            self.stats["full_uploads"] += 1
+            self.stats["h2d_bytes"] += nbytes
+        # No pending (re-dispatch with new flags): analyze the resident as-is.
+        self._results = ops_pipeline._analyze_packed_flat(self.rois_dev, **kw)
 
     def snapshot_job(self) -> dict:
         """Capture the in-flight frame's device state so another frame can be
@@ -383,7 +501,7 @@ class TpuBackend:
         self._lsd_crop_host = None
 
     def crop_to_map(self, grayscale: bool) -> Optional[tuple]:
-        assert self.rois_dev is not None and self.geom is not None
+        assert (self.rois_dev is not None or self._pending is not None) and self.geom is not None
         g = self.geom
 
         # ONE dispatch, ONE device->host fetch: the packed buffer carries the

@@ -1,0 +1,201 @@
+"""Delta H2D transport: device-resident ROI buffer + changed-chunk uploads.
+
+The transport must be behaviour-preserving by construction: the device
+scatter reconstructs the exact frame bytes before the fused pass runs, so
+every detection/hostpack output is bit-identical to a full upload. These
+tests drive the chain through its state machine: steady deltas, the
+dropped-frame case (load without dispatch must not poison the diff base),
+the full-upload fallback on a big change, and a resolution change resetting
+the chain. Counterpart of the reference's whole-frame crc32 dedup
+(/root/reference/src/capture.rs:44-47), extended to sub-frame granularity.
+"""
+
+import numpy as np
+import pytest
+
+from smh_tpu import consts as C, testing
+from smh_tpu.vision.tpu_backend import TpuBackend
+
+W, H = 1920, 1080
+
+
+def frame_with(off=0, brq_patch=False):
+    f = testing.make_frame(
+        W, H,
+        marker_lines=[((120 + off, 150), (380 + off, 320))],
+        scale_bars=[(60, 200, 120, 1)],
+    )
+    if brq_patch:
+        g = C.map_geometry(W, H)
+        f[g.brq_y + 300 : g.brq_y + 312, g.brq_x + 280 : g.brq_x + 330, :3] = 255
+    return f
+
+
+def make_backend(delta: str) -> TpuBackend:
+    be = TpuBackend()
+    be.delta_mode = delta
+    return be
+
+
+def detect(be: TpuBackend, frame) -> list:
+    be.load_frame(frame)
+    assert be.crop_to_map(True) is not None
+    be.mask_marker_lines()
+    return be.find_marker_lines(C.LSD_MAX_GAP)
+
+
+def lines_tuples(lines):
+    return [((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in lines]
+
+
+def test_delta_chain_matches_full_uploads():
+    frames = [frame_with(0), frame_with(7), frame_with(14, brq_patch=True), frame_with(7)]
+    be_d = make_backend("on")
+    be_f = make_backend("off")
+    for i, f in enumerate(frames):
+        ld = detect(be_d, f)
+        lf = detect(be_f, f)
+        assert lines_tuples(ld) == lines_tuples(lf), f"frame {i}"
+        assert len(ld) == 1
+        # the full scales/OCR images decoded from each transport agree
+        np.testing.assert_array_equal(be_d.ocr_preprocess(), be_f.ocr_preprocess())
+        np.testing.assert_array_equal(
+            be_d.find_scales_preprocess(0), be_f.find_scales_preprocess(0)
+        )
+        assert be_d._host["lsd_bbox"] == be_f._host["lsd_bbox"]
+        assert be_d._host["minimap_rect"] == be_f._host["minimap_rect"]
+    # frame 0 seeded the chain with a full upload; the rest rode deltas
+    assert be_d.stats["full_uploads"] == 1
+    assert be_d.stats["delta_frames"] == len(frames) - 1
+    assert be_f.stats["delta_frames"] == 0
+    # and the deltas were materially smaller than the full buffer
+    full_bytes = be_f.stats["h2d_bytes"] / len(frames)
+    delta_bytes = (be_d.stats["h2d_bytes"] - full_bytes) / (len(frames) - 1)
+    assert delta_bytes < full_bytes / 2
+
+
+def test_identical_frame_still_dispatches_via_minimal_delta():
+    f = frame_with(0)
+    be = make_backend("on")
+    l1 = detect(be, f)
+    l2 = detect(be, f.copy())
+    assert lines_tuples(l1) == lines_tuples(l2)
+    assert be.stats["delta_frames"] == 1  # one-chunk keepalive delta
+
+
+def test_dropped_frame_does_not_poison_the_diff_base():
+    """load_frame without a dispatch must not become the diff base: the next
+    delta is computed against what is actually resident on device."""
+    be = make_backend("on")
+    detect(be, frame_with(0))  # chain base
+    be.load_frame(frame_with(3))  # loaded, never dispatched (frame dropped)
+    lines = detect(be, frame_with(9, brq_patch=True))
+    ref = detect(make_backend("off"), frame_with(9, brq_patch=True))
+    assert lines_tuples(lines) == lines_tuples(ref)
+
+
+def test_big_change_falls_back_to_full_upload():
+    be = make_backend("on")
+    detect(be, frame_with(0))
+    noise = np.random.default_rng(7).integers(0, 255, (H, W, 4), dtype=np.uint8)
+    noise[..., 3] = 255
+    f2 = testing.make_frame(W, H, marker_lines=[((120, 150), (380, 320))])
+    g = C.map_geometry(W, H)
+    f2[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w] = noise[
+        g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w
+    ]
+    be.load_frame(f2)
+    assert be._pending[0] == "full"
+    assert be.stats["full_uploads"] == 1  # counted at dispatch time
+
+
+def test_resize_resets_the_chain():
+    be = make_backend("on")
+    detect(be, frame_with(0))
+    small = testing.make_frame(1280, 1024, marker_lines=[((100, 100), (300, 260))])
+    be.load_frame(small)
+    assert be._pending[0] == "full"
+    assert be.crop_to_map(True) is not None
+    be.mask_marker_lines()
+    assert len(be.find_marker_lines(C.LSD_MAX_GAP)) == 1
+
+
+def test_auto_mode_keeps_tiny_frames_on_full_uploads():
+    be = make_backend("auto")
+    f = testing.make_frame(640, 480, marker_lines=[((40, 40), (160, 150))])
+    be.load_frame(f)
+    assert be._pending[0] == "full"
+    be.load_frame(f.copy())
+    assert be._pending[0] == "full"  # below _DELTA_MIN_BYTES
+
+
+def test_pipelined_loop_with_delta_matches_sync(monkeypatch):
+    """Two frames in flight with the delta chain active: the diff base must
+    track dispatch order, not load order, and adopted jobs must not roll the
+    chain back."""
+    import time
+
+    from smh_tpu.ocr import FakeOcrEngine, OcrResult
+    from smh_tpu.settings import Settings
+    from smh_tpu.squadex.capture import CaptureThread, Frame
+    from smh_tpu.vision.pipeline import VisionLoop, VisionState
+
+    monkeypatch.setenv("SMH_DELTA", "on")
+    frames = [frame_with(7 * i) for i in range(3)]
+
+    class Cycle:
+        def __init__(self):
+            self.i = 0
+
+        def grab(self):
+            self.i += 1
+            return Frame(frames[self.i % len(frames)], 96)
+
+    def collect(pipelined):
+        settings = Settings(path=None)
+        settings.set("hardware_acceleration", True)
+        state = VisionState(
+            settings=settings,
+            ocr_engine=FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)]),
+        )
+        updates = []
+        cap = CaptureThread(Cycle(), hz=120).start()
+        loop = VisionLoop(
+            state, cap, lambda r, d: updates.append(r), fps=120, pipelined=pipelined
+        ).start()
+        deadline = time.time() + 180
+        while len(updates) < 6 and time.time() < deadline:
+            time.sleep(0.05)
+        loop.stop()
+        cap.stop()
+        be = state.delegate.backend
+        state.close()
+        return updates[:6], be
+
+    pipe, be = collect(True)
+    sync, _ = collect(False)
+    assert len(sync) == len(pipe) == 6
+    assert be.stats["delta_frames"] >= 3  # the chain actually engaged
+
+    def summarize(u):
+        return (
+            len(u.markers),
+            None if not u.markers else (round(u.markers[0].p0.x), round(u.markers[0].p0.y)),
+            None if u.meters_to_px_ratio is None else round(u.meters_to_px_ratio, 6),
+        )
+
+    assert {summarize(u) for u in sync if u} == {summarize(u) for u in pipe if u}
+
+
+def test_redispatch_after_delta_reuses_resident():
+    """crop_to_map(grayscale flip) re-dispatches with no pending upload; the
+    resident buffer must serve the second dispatch."""
+    be = make_backend("on")
+    detect(be, frame_with(0))
+    be.load_frame(frame_with(5))
+    assert be.crop_to_map(True) is not None
+    assert be.crop_to_map(False) is not None  # flag flip: re-dispatch
+    be.mask_marker_lines()
+    lines = be.find_marker_lines(C.LSD_MAX_GAP)
+    ref = detect(make_backend("off"), frame_with(5))
+    assert lines_tuples(lines) == lines_tuples(ref)
