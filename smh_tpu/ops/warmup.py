@@ -44,18 +44,39 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
         # runtime; each rung is its own compiled shape). Height/width adapt
         # independently — warm the matched-rung diagonal, the most common
         # shapes (mixed rungs compile on first use, cache persists).
+        from ..vision.tpu_backend import _RUNG_HALF, _dim_ladder
+
         if be._ladder_h is not None:
             for rung in range(len(be._ladder_h)):
                 be._rung_h = be._rung_w = rung
                 be.dispatch(grayscale)
                 be.crop_to_map(grayscale)
-            be._rung_h = be._rung_w = 1
+            be._rung_h = be._rung_w = _RUNG_HALF
         # Band-rung buckets (the band ladder adapts at runtime).
-        for band_rung in (0, 2):
+        for band_rung in range(len(_dim_ladder(be.geom.brq_h))):
             be._band_rung = band_rung
             be.dispatch(grayscale)
             be.crop_to_map(grayscale)
-        be._band_rung = 1
+        be._band_rung = _RUNG_HALF
+        # Delta-transport buckets: warm the chunk-count buckets a live
+        # session typically visits (a marker drag is a few hundred chunks).
+        if be._delta_active(be._pending_host.size if be._pending_host is not None else 0):
+            import numpy as np
+
+            from ..vision.tpu_backend import _DELTA_CHUNK
+
+            g = be.geom
+            for n_touch in (100, 1000):
+                f2 = frame.copy()
+                span = min(g.map_w - 60, (n_touch * _DELTA_CHUNK) // 9)
+                f2[
+                    g.map_y + 40 : g.map_y + 43, g.map_x + 50 : g.map_x + 50 + span, :3
+                ] = np.uint8(200)
+                be.load_frame(f2)
+                be.crop_to_map(grayscale)
+                be.load_frame(frame)
+                be.crop_to_map(grayscale)
+                frame = f2  # alternate so each load really diffs
         # Scales-transport variants the live loop flips between: inline
         # ("binary" warmed above) and checksum-only ("none" — entered after
         # a few stable frames on any static map).

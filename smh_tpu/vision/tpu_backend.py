@@ -50,6 +50,10 @@ _MIN_WINDOWED_MASK_BYTES = 16 * 1024
 _RUNG_SLACK = 64
 # Consecutive comfortably-fitting frames before the window shrinks a rung.
 _SHRINK_AFTER = 30
+# The OCR text band shrinks faster: scale-label text height is fixed UI
+# chrome, so a short stable streak suffices (a wrong guess costs one
+# fallback fetch + immediate re-escalation, not a detection error).
+_BAND_SHRINK_AFTER = 5
 # Consecutive unchanged scales checksums before the scales/OCR images drop
 # out of the inline hostpack (static map -> checksum-only transport).
 _INLINE_STABLE_AFTER = 3
@@ -155,10 +159,19 @@ def _scales_image_from_host(host: dict, g) -> "np.ndarray | None":
 
 
 def _dim_ladder(dim: int) -> list[int]:
-    """Window rungs for ONE dimension: 1/4, 1/2, 3/4, full. Height and width
-    adapt independently (marker-line sets are usually wide-short or
-    tall-narrow, so a square window wastes half the crop bytes)."""
-    return [max(1, dim // 4), max(1, dim // 2), max(1, (dim * 3) // 4), dim]
+    """Window rungs for ONE dimension: 1/16, 1/8, 1/4, 1/2, 3/4, full.
+    Height and width adapt independently (marker-line sets are usually
+    wide-short or tall-narrow, so a square window wastes half the crop
+    bytes). The sub-1/4 rungs matter in live play: a single short marker
+    line or a small text band fits in 1/16-1/8 of the dimension, and D2H
+    bytes scale with the window area."""
+    return [
+        max(1, dim // 16), max(1, dim // 8), max(1, dim // 4),
+        max(1, dim // 2), max(1, (dim * 3) // 4), dim,
+    ]
+
+
+_RUNG_HALF = 3  # ladder index of the dim//2 rung (the starting window)
 
 
 class TpuBackend:
@@ -185,8 +198,8 @@ class TpuBackend:
         self._ui_map_cache: Optional[np.ndarray] = None
         self._ladder_h: Optional[list[int]] = None
         self._ladder_w: Optional[list[int]] = None
-        self._rung_h = 1  # start at the 1/2 window
-        self._rung_w = 1
+        self._rung_h = _RUNG_HALF  # start at the 1/2 window
+        self._rung_w = _RUNG_HALF
         self._shrink_streak = 0
         self.stats = {
             "lsd_window_misses": 0,
@@ -233,7 +246,7 @@ class TpuBackend:
         # _band_probation re-probes a smaller band after the ladder maxed out
         # (otherwise a single pathological frame would disable banding for
         # the whole session).
-        self._band_rung = 1
+        self._band_rung = _RUNG_HALF
         self._band_streak = 0
         self._band_probation = 0
         # Minimap quiet mask cadence: the driver may skip it on frames where
@@ -318,12 +331,16 @@ class TpuBackend:
                 data = buf[4 * bucket :].reshape(bucket, _DELTA_CHUNK)
                 data[: changed.size] = chunks2d[changed]
                 data[changed.size :] = chunks2d[changed[-1]]
-                delta = (jax.device_put(buf), bucket, buf.size)
+                delta = (buf, bucket, buf.size)
 
+        # The pending buffers stay HOST-side: dispatch passes them to the jit
+        # directly and the implicit call-time transfer is one relay exchange
+        # cheaper than device_put + call (~6 ms on this link). Buffers are
+        # fresh per frame, so the lazy host read cannot tear pipelined frames.
         if delta is not None:
             self._pending = ("delta", *delta)
         else:
-            self._pending = ("full", jax.device_put(packed), packed.size)
+            self._pending = ("full", packed, packed.size)
         self._pending_host = packed
         self._results = None
         self._host = None
@@ -455,9 +472,9 @@ class TpuBackend:
         )
         pending, self._pending = self._pending, None
         if pending is not None and pending[0] == "delta":
-            _, buf_dev, bucket, nbytes = pending
+            _, buf_np, bucket, nbytes = pending
             out = ops_pipeline._analyze_delta_flat(
-                self._resident, buf_dev, bucket=bucket, chunk=_DELTA_CHUNK, **kw
+                self._resident, buf_np, bucket=bucket, chunk=_DELTA_CHUNK, **kw
             )
             self._resident = out.pop("resident")
             self.rois_dev = self._resident
@@ -466,12 +483,20 @@ class TpuBackend:
             self.stats["delta_frames"] += 1
             self.stats["h2d_bytes"] += nbytes
             return
-        if pending is not None:  # full upload: the put buffer seeds the chain
-            _, self.rois_dev, nbytes = pending
-            self._resident = self.rois_dev
+        if pending is not None:
+            # Full upload: the jit echoes the uploaded buffer back as a
+            # device output, which seeds the delta chain for the next frame.
+            _, packed_np, nbytes = pending
+            out = ops_pipeline._analyze_packed_flat(
+                packed_np, with_resident=True, **kw
+            )
+            self._resident = out.pop("resident")
+            self.rois_dev = self._resident
+            self._results = out
             self._mirror = self._pending_host
             self.stats["full_uploads"] += 1
             self.stats["h2d_bytes"] += nbytes
+            return
         # No pending (re-dispatch with new flags): analyze the resident as-is.
         self._results = ops_pipeline._analyze_packed_flat(self.rois_dev, **kw)
 
@@ -563,7 +588,7 @@ class TpuBackend:
                             want = self._rung_for(_dim_ladder(g.brq_h), need_end - oy0)
                             if want < self._band_rung:
                                 self._band_streak += 1
-                                if self._band_streak >= _SHRINK_AFTER:
+                                if self._band_streak >= _BAND_SHRINK_AFTER:
                                     self._band_rung -= 1
                                     self._band_streak = 0
                             else:

@@ -172,11 +172,6 @@ def test_pipelined_loop_with_delta_matches_sync(monkeypatch):
         state.close()
         return updates[:6], be
 
-    pipe, be = collect(True)
-    sync, _ = collect(False)
-    assert len(sync) == len(pipe) == 6
-    assert be.stats["delta_frames"] >= 3  # the chain actually engaged
-
     def summarize(u):
         return (
             len(u.markers),
@@ -184,7 +179,27 @@ def test_pipelined_loop_with_delta_matches_sync(monkeypatch):
             None if u.meters_to_px_ratio is None else round(u.meters_to_px_ratio, 6),
         )
 
-    assert {summarize(u) for u in sync if u} == {summarize(u) for u in pipe if u}
+    # Ground truth per frame: direct single-frame processing, no delta chain.
+    from smh_tpu.vision.pipeline import VisionState as VS
+
+    truth_state = VS(
+        settings=(lambda s: (s.set("hardware_acceleration", True), s)[1])(Settings(path=None)),
+        ocr_engine=FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)]),
+    )
+    # (the truth state also runs the delta chain — sequential single-frame
+    # deltas are exact per test_delta_chain_matches_full_uploads)
+    truths = {summarize(truth_state.process(Frame(f, 96))) for f in frames}
+    truth_state.close()
+    assert len(truths) == 3
+
+    pipe, be = collect(True)
+    assert len(pipe) == 6
+    assert be.stats["delta_frames"] >= 3  # the chain actually engaged
+    seen = {summarize(u) for u in pipe if u}
+    # Which frames get processed is scheduling-dependent; what matters is
+    # that every published result equals a true per-frame result (a torn or
+    # mis-applied delta lands outside the truth set).
+    assert seen <= truths and len(seen) >= 2
 
 
 def test_redispatch_after_delta_reuses_resident():

@@ -65,9 +65,11 @@ def force_full(be: TpuBackend):
 
 
 def test_windowed_crop_equals_full_mask_detection():
+    from smh_tpu.vision.tpu_backend import _RUNG_HALF
+
     frame = small_lines_frame()
     be_win = TpuBackend()
-    be_win._rung_h = be_win._rung_w = 1  # half window: the small line fits
+    be_win._rung_h = be_win._rung_w = _RUNG_HALF  # half window: the line fits
     lines_win = detect(be_win, frame)
     assert be_win.stats["lsd_window_misses"] == 0
     assert be_win._host["lsd_crop_shape"] != (be_win.geom.map_h, be_win.geom.map_w)
@@ -82,7 +84,7 @@ def test_windowed_crop_equals_full_mask_detection():
 def test_window_miss_falls_back_and_escalates():
     frame = spanning_lines_frame()
     be = TpuBackend()
-    be._rung_h = be._rung_w = 0  # quarter window: spanning lines cannot fit
+    be._rung_h = be._rung_w = 0  # smallest window: spanning lines cannot fit
     lines = detect(be, frame)
     assert be.stats["lsd_window_misses"] == 1
     assert be._rung_h > 0 and be._rung_w > 0  # escalated for the next frame
@@ -197,14 +199,15 @@ def test_rung_shrinks_after_streak():
 
     be = TpuBackend()
     frame = small_lines_frame()
-    be._rung_h = be._rung_w = 2  # oversized window for this bbox
+    start = tb._RUNG_HALF + 1  # oversized (3/4) window for this bbox
+    be._rung_h = be._rung_w = start
     detect(be, frame)
-    assert (be._rung_h, be._rung_w) == (2, 2)  # no immediate shrink
+    assert (be._rung_h, be._rung_w) == (start, start)  # no immediate shrink
     for _ in range(tb._SHRINK_AFTER):
         be.dispatch()
         be.crop_to_map(True)
     # one rung at a time after a sustained streak, per dimension
-    assert be._rung_h == 1 and be._rung_w <= 2
+    assert be._rung_h == start - 1 and be._rung_w <= start
 
 
 def test_binary_ocr_threshold_matches_smhocr():

@@ -33,17 +33,44 @@ def make_frames():
     ]
 
 
+def summarize(u):
+    return (
+        len(u.markers),
+        None if not u.markers else (round(u.markers[0].p0.x), round(u.markers[0].p0.y)),
+        None if u.meters_to_px_ratio is None else round(u.meters_to_px_ratio, 6),
+    )
+
+
 @pytest.mark.parametrize("hardware", [True, False])
 def test_pipelined_matches_sync(hardware):
+    """Every update a streaming loop publishes (sync or pipelined) must match
+    the direct single-frame result for SOME input frame — a torn frame (two
+    in-flight uploads seeing each other's pixels) produces a summary outside
+    that truth set. Which frames each loop happens to process is
+    scheduling-dependent (latest-wins mailbox under a fast capture), so
+    coverage is asserted loosely and correctness exactly."""
     frames = make_frames()
 
-    def collect(pipelined):
+    def make_state():
         settings = Settings(path=None)
         settings.set("hardware_acceleration", hardware)
-        state = VisionState(
+        return VisionState(
             settings=settings,
             ocr_engine=FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)]),
         )
+
+    # Ground truth: each frame processed alone, direct call, fresh state.
+    truth_state = make_state()
+    truths = set()
+    for f in frames:
+        r = truth_state.process(Frame(f, 96))
+        assert r is not None
+        truths.add(summarize(r))
+    truth_state.close()
+    assert len(truths) == 3  # three distinct marker positions
+
+    def collect(pipelined):
+        state = make_state()
         updates = []
         cap = CaptureThread(Cycle(frames), hz=120).start()
         loop = VisionLoop(
@@ -57,20 +84,12 @@ def test_pipelined_matches_sync(hardware):
         state.close()
         return updates[:6]
 
-    sync = collect(False)
-    pipe = collect(True)
-    assert len(sync) == len(pipe) == 6
-
-    def summarize(u):
-        return (
-            len(u.markers),
-            None if not u.markers else (round(u.markers[0].p0.x), round(u.markers[0].p0.y)),
-            None if u.meters_to_px_ratio is None else round(u.meters_to_px_ratio, 6),
-        )
-
-    # Same frames produce the same per-frame detections in either mode
-    # (ordering may differ by the 1-frame pipeline offset, so compare sets).
-    assert {summarize(u) for u in sync if u} == {summarize(u) for u in pipe if u}
+    for pipelined in (False, True):
+        got = collect(pipelined)
+        assert len(got) == 6
+        seen = {summarize(u) for u in got if u}
+        assert seen <= truths, f"pipelined={pipelined}: torn/wrong detections"
+        assert len(seen) >= 2, f"pipelined={pipelined}: suspiciously low coverage"
 
 
 def test_pipelined_with_minimap_cadence():
