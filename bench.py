@@ -191,25 +191,56 @@ def measure_pipelined_fps(w: int, h: int, seconds: float) -> float:
     return (n1 - n0) / elapsed
 
 
-def measure_batched(w: int, h: int, iters: int, batch: int = 8) -> float:
+def make_video_frames(w: int, h: int, n: int) -> list[np.ndarray]:
+    """A video-like sequence: marker lines move continuously frame to frame
+    and a BRQ patch changes every frame (defeats the ratio cache), while the
+    map background stays — the batch delta chain ships the real inter-frame
+    change, as it would for game footage."""
+    from smh_tpu import consts as C, testing
+
+    g = C.map_geometry(w, h)
+    frames = []
+    for i in range(n):
+        off = 5 * i
+        frame = testing.make_frame(
+            w,
+            h,
+            marker_lines=[
+                ((120 + off, 150 + off // 2), (700 + off, 520)),
+                ((w // 4, h // 3 + off), (w // 4 + 450, h // 3 + 60 + off)),
+            ],
+            scale_texts=[("300m", (60, 170))],
+            scale_bars=[(60, 200, 120, 1)],
+        )
+        frame[g.brq_y + 300 + off % 40 : g.brq_y + 310 + off % 40,
+              g.brq_x + 300 : g.brq_x + 340, :3] = 255
+        frames.append(frame)
+    return frames
+
+
+def measure_batched(w: int, h: int, iters: int, batch: int = 8) -> tuple[float, dict]:
+    """(ms per frame, chain stats) over a video-like sequence processed in
+    consecutive batches — distinct content every frame, chain engaged."""
     from smh_tpu.ocr.smhocr import SmhOcrEngine
     from smh_tpu.vision.batch import BatchPipeline
 
     bp = BatchPipeline(w, h, batch=batch, ocr_engine=SmhOcrEngine())
-    base = make_bench_frames(w, h, n=batch)
-    for _ in range(2):
-        results = bp.process(base)
+    n_batches = max(3, iters)
+    frames = make_video_frames(w, h, n=batch * (n_batches + 1))
+    results = bp.process(frames[:batch])  # warm compile + seed the chain
     assert all(not r.sleeping and r.markers for r in results)
     lat = []
-    for _ in range(iters):
-        # Fresh cache-defeating content each iteration would need new frames;
-        # clearing the ratio cache keeps the OCR work in the measured path.
-        bp._scales_cache.clear()
+    stats0 = dict(bp.stats)
+    for s in range(1, n_batches + 1):
+        chunk = frames[s * batch : (s + 1) * batch]
         t0 = time.perf_counter()
-        bp.process(base)
+        rs = bp.process(chunk)
         lat.append(time.perf_counter() - t0)
+        assert all(not r.sleeping and r.markers for r in rs)
+    stats = {k: bp.stats[k] - stats0.get(k, 0) for k in bp.stats}
+    stats["h2d_bytes_per_frame"] = round(stats["h2d_bytes"] / (n_batches * batch))
     bp.close()
-    return statistics.median(lat) * 1000.0 / batch
+    return statistics.median(lat) * 1000.0 / batch, stats
 
 
 def main() -> None:
@@ -232,12 +263,14 @@ def main() -> None:
     reps = 2 if args.quick else args.reps
 
     if args.mode == "batch":
-        per_frame_ms = measure_batched(w, h, max(4, iters // 2), batch=args.batch)
+        per_frame_ms, bstats = measure_batched(w, h, max(4, iters // 2), batch=args.batch)
         print(json.dumps({
             "metric": f"{args.res}_batched_throughput_per_frame",
             "value": round(per_frame_ms, 3), "unit": "ms",
             "vs_baseline": round(8.0 / per_frame_ms, 4),
             "fps_per_chip": round(1000.0 / per_frame_ms, 2), "batch": args.batch,
+            "delta_batches": bstats.get("delta_batches"),
+            "h2d_bytes_per_frame": bstats.get("h2d_bytes_per_frame"),
         }))
         return
     if args.mode == "stream":
@@ -321,7 +354,7 @@ def main() -> None:
         markers_p50 = amed
         astate.close()
         fps_pipelined = measure_pipelined_fps(w, h, 4.0 if args.quick else 8.0)
-        batched_ms = measure_batched(w, h, 3 if args.quick else 6, batch=args.batch)
+        batched_ms, _ = measure_batched(w, h, 3 if args.quick else 6, batch=args.batch)
 
     out = {
         "metric": f"{args.res}_frame_to_markers_scales_p50_latency",

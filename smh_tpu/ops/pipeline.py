@@ -737,8 +737,65 @@ def _analyze_packed(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "bucket", "chunk",
+        "map_h", "map_w", "btn_h", "btn_w", "grayscale", "with_ocr",
+        "crop_h", "crop_w", "scales_inline", "channels",
+    ),
+)
+def _analyze_batch_delta(
+    resident: jnp.ndarray,  # u8 [padded_total] chain state (last analyzed frame)
+    buf: jnp.ndarray,  # u8 [B*bucket*4 idx][B*bucket*chunk data]
+    bucket: int,
+    chunk: int,
+    map_h: int,
+    map_w: int,
+    btn_h: int,
+    btn_w: int,
+    grayscale: bool,
+    with_ocr: bool = True,
+    crop_h: int | None = None,
+    crop_w: int | None = None,
+    scales_inline: str = "none",
+    channels: int = 4,
+):
+    """Batched delta pass: B frames expressed as chunk-updates against a
+    device-resident chain (frame i diffs against frame i-1; frame 0 against
+    the previous batch's tail), applied and analyzed by ONE lax.scan — one
+    dispatch, one fetch, and H2D proportional to inter-frame motion instead
+    of B full ROI buffers. This is the video/throughput configuration: for
+    typical footage consecutive frames share most content, so the upload
+    shrinks 5-50x. Semantics are identical to _analyze_batch_packed (the
+    scatter reconstructs each frame's exact bytes before the fused pass).
+    Returns stacked hostpacks/lsd_bits plus the new chain tail."""
+    n_total = resident.size // chunk
+    b = buf.size // (4 * bucket + bucket * chunk)
+    idxs = jax.lax.bitcast_convert_type(
+        buf[: 4 * bucket * b].reshape(b, bucket, 4), I32
+    )
+    datas = buf[4 * bucket * b :].reshape(b, bucket, chunk)
+
+    def step(res2d, upd):
+        idx, data = upd
+        new2d = res2d.at[idx].set(data)
+        out = _analyze_flat_core(
+            new2d.reshape(-1), map_h, map_w, btn_h, btn_w, grayscale,
+            with_ocr=with_ocr, with_quiet=True, crop_h=crop_h, crop_w=crop_w,
+            scales_inline=scales_inline, with_mask_output=False,
+            channels=channels,
+        )
+        return new2d, (out["hostpack"], out["lsd_bits"])
+
+    res2d, (packs, bits) = jax.lax.scan(
+        step, resident.reshape(n_total, chunk), (idxs, datas)
+    )
+    return {"hostpack": packs, "lsd_bits": bits, "resident": res2d.reshape(-1)}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "map_h", "map_w", "btn_h", "btn_w", "grayscale", "with_ocr", "crop_h", "crop_w",
-        "scales_inline", "channels",
+        "scales_inline", "channels", "resident_row",
     ),
 )
 def _analyze_batch_packed(
@@ -753,6 +810,7 @@ def _analyze_batch_packed(
     crop_w: int | None = None,
     scales_inline: str = "none",
     channels: int = 4,
+    resident_row: int | None = None,
 ):
     """Batched fused pass: B frames in, ONE [B, pack_bytes] hostpack out.
 
@@ -760,7 +818,10 @@ def _analyze_batch_packed(
     D2H roundtrip cost divides by B (SURVEY/BASELINE config "streaming
     capture loop with batched frames"). The windowed LSD crop applies per
     frame (vmapped dynamic_slice, per-frame origins); scalespacks come back
-    as one [B, bytes] array fetched only when some frame's checksum missed."""
+    as one [B, bytes] array fetched only when some frame's checksum missed.
+    resident_row echoes that row of the upload back as a device output —
+    it seeds the batch delta chain (_analyze_batch_delta) with the last
+    real frame of this batch."""
 
     def one(roi):
         out = _analyze_packed_flat(
@@ -785,6 +846,8 @@ def _analyze_batch_packed(
     res = {"hostpack": outs[0], "lsd_bits": outs[1]}
     if with_ocr and scales_inline == "none":
         res["scalespack"] = outs[2]
+    if resident_row is not None:
+        res["resident"] = rois[resident_row]
     return res
 
 

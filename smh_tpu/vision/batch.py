@@ -73,17 +73,39 @@ class BatchPipeline:
         self._pool = ThreadPoolExecutor(max_workers=max(1, host_workers), thread_name_prefix="batch-host")
         self._ocr_lock = threading.Lock()
         self._scales_cache: dict = {}
+        # Cross-batch delta chain (same transport as the per-frame backend,
+        # scaled to video: frame i diffs against frame i-1, batch 0's head
+        # against the previous batch's tail kept device-resident).
+        import os as _os
+
+        self.delta_mode = _os.environ.get("SMH_DELTA", "auto")
+        self._resident = None  # device flat ROI buffer = last analyzed frame
+        self._mirror: Optional[np.ndarray] = None  # host copy of _resident
+        self.stats = {"delta_batches": 0, "full_batches": 0, "h2d_bytes": 0}
 
     def _pack_rois(self, frames: list[np.ndarray]) -> np.ndarray:
-        from .tpu_backend import _pack_rois_bgr
+        """[B, padded_roi_bytes] u8: per-frame flat BGR ROIs (cvtColor writes
+        straight into the row views; padding rows/tails are zero)."""
+        from .tpu_backend import _DELTA_CHUNK, _cv2
 
         g = self.geom
         roi_bytes = (g.map_h * g.map_w + g.btn_h * g.btn_w) * 3
-        out = np.empty((len(frames), roi_bytes), dtype=np.uint8)
+        padded = ((roi_bytes + _DELTA_CHUNK - 1) // _DELTA_CHUNK) * _DELTA_CHUNK
+        out = np.empty((self.batch, padded), dtype=np.uint8)
+        out[len(frames) :] = 0
+        out[:, roi_bytes:] = 0
+        msz = g.map_h * g.map_w * 3
         for i, f in enumerate(frames):
             m = f[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w]
             b = f[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w]
-            out[i] = _pack_rois_bgr(m, b)
+            mdst = out[i, :msz].reshape(g.map_h, g.map_w, 3)
+            bdst = out[i, msz:roi_bytes].reshape(g.btn_h, g.btn_w, 3)
+            if _cv2 is not None:
+                _cv2.cvtColor(m, _cv2.COLOR_BGRA2BGR, dst=mdst)
+                _cv2.cvtColor(b, _cv2.COLOR_BGRA2BGR, dst=bdst)
+            else:
+                mdst[...] = m[..., :3]
+                bdst[...] = b[..., :3]
         return out
 
     def _find_lines(self, crop_mask: np.ndarray, offset: tuple[int, int]) -> list[Line]:
@@ -105,14 +127,45 @@ class BatchPipeline:
             canvas[oy : oy + crop_mask.shape[0], ox : ox + crop_mask.shape[1]] = crop_mask
         return vlsd.find_lines(canvas, C.LSD_MAX_GAP, oracle_march)
 
+    def _delta_updates(self, rois: np.ndarray, n: int):
+        """Per-frame changed-chunk updates against the chain, or None when a
+        frame changed too much (the full batch upload wins)."""
+        from .tpu_backend import _DELTA_CHUNK, _delta_bucket
+
+        n_chunks = rois.shape[1] // _DELTA_CHUNK
+        prev64 = self._mirror.view(np.uint64).reshape(n_chunks, -1)
+        changed: list[np.ndarray] = []
+        for i in range(n):
+            cur64 = rois[i].view(np.uint64).reshape(n_chunks, -1)
+            ch = np.flatnonzero((cur64 != prev64).any(axis=1)).astype(np.int32)
+            if ch.size == 0:
+                ch = np.zeros(1, dtype=np.int32)
+            changed.append(ch)
+            prev64 = cur64
+        bucket = _delta_bucket(max(c.size for c in changed), n_chunks)
+        if bucket is None:
+            return None
+        b = self.batch
+        buf = np.empty(b * bucket * 4 + b * bucket * _DELTA_CHUNK, dtype=np.uint8)
+        idxs = buf[: b * bucket * 4].view(np.int32).reshape(b, bucket)
+        datas = buf[b * bucket * 4 :].reshape(b, bucket, _DELTA_CHUNK)
+        for i in range(b):
+            ch = changed[i] if i < n else np.zeros(1, dtype=np.int32)
+            src = rois[min(i, n - 1)].reshape(n_chunks, _DELTA_CHUNK)
+            idxs[i, : ch.size] = ch
+            idxs[i, ch.size :] = ch[-1]
+            datas[i, : ch.size] = src[ch]
+            datas[i, ch.size :] = src[ch[-1]]
+        return buf, bucket
+
     def process(self, frames: list[np.ndarray]) -> list[BatchResult]:
         """frames: BGRA u8 arrays of the pipeline resolution, len <= batch."""
+        from .tpu_backend import _DELTA_CHUNK, _DELTA_MIN_BYTES
+
         g = self.geom
         assert frames and len(frames) <= self.batch
         n = len(frames)
         rois = self._pack_rois(frames)
-        if n < self.batch:
-            rois = np.concatenate([rois, np.zeros((self.batch - n, rois.shape[1]), np.uint8)])
 
         with_ocr = self.ocr_engine is not None
         # Batch mode is one fetch per batch, so the scales/OCR images always
@@ -120,8 +173,7 @@ class BatchPipeline:
         inline = "none"
         if with_ocr:
             inline = "binary" if getattr(self.ocr_engine, "binary_ok", False) else "gray"
-        out = ops_pipeline._analyze_batch_packed(
-            jax.device_put(rois),
+        kw = dict(
             map_h=g.map_h,
             map_w=g.map_w,
             btn_h=g.btn_h,
@@ -133,6 +185,29 @@ class BatchPipeline:
             scales_inline=inline,
             channels=3,
         )
+        delta_ok = (
+            self.delta_mode not in ("0", "off")
+            and (self.delta_mode in ("1", "on") or rois.shape[1] >= _DELTA_MIN_BYTES)
+            and self._resident is not None
+            and self._mirror is not None
+            and self._mirror.size == rois.shape[1]
+        )
+        upd = self._delta_updates(rois, n) if delta_ok else None
+        if upd is not None:
+            buf, bucket = upd
+            out = dict(ops_pipeline._analyze_batch_delta(
+                self._resident, buf, bucket=bucket, chunk=_DELTA_CHUNK, **kw
+            ))
+            self.stats["delta_batches"] += 1
+            self.stats["h2d_bytes"] += buf.size
+        else:
+            out = dict(ops_pipeline._analyze_batch_packed(
+                rois, resident_row=n - 1, **kw
+            ))
+            self.stats["full_batches"] += 1
+            self.stats["h2d_bytes"] += rois.size
+        self._resident = out.pop("resident")
+        self._mirror = rois[n - 1]
         packs = np.asarray(out["hostpack"])  # ONE fetch for the whole batch
         layout = ops_pipeline.hostpack_layout(
             g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=True,

@@ -31,6 +31,67 @@ def test_batch_matches_single():
         assert abs(a.p1.x - b.p1.x) < 1e-3 and abs(a.p1.y - b.p1.y) < 1e-3
 
 
+def test_batch_delta_chain_matches_full():
+    """Video-style sequence through the cross-batch delta chain == the same
+    sequence through full uploads, frame for frame (the scan scatter
+    reconstructs each frame's exact bytes)."""
+    seq = [
+        testing.make_frame(
+            1280, 720,
+            marker_lines=[((100 + 6 * i, 100 + 2 * i), (420 + 6 * i, 300))],
+            scale_bars=[(60, 200, 120, 1)],
+        )
+        for i in range(10)
+    ]
+
+    def run(mode):
+        bp = BatchPipeline(1280, 720, batch=4, ocr_engine=None)
+        bp.delta_mode = mode
+        results = []
+        for s in range(0, len(seq), 4):
+            results.extend(bp.process(seq[s : s + 4]))
+        stats = dict(bp.stats)
+        bp.close()
+        return results, stats
+
+    full, fstats = run("off")
+    delta, dstats = run("on")
+    assert fstats["delta_batches"] == 0
+    assert dstats["delta_batches"] == 2  # batch 0 seeds, batches 1-2 ride deltas
+    assert dstats["h2d_bytes"] < fstats["h2d_bytes"] / 2
+    for i, (a, b) in enumerate(zip(full, delta)):
+        assert a.sleeping == b.sleeping, f"frame {i}"
+        assert [
+            ((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in a.markers
+        ] == [((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in b.markers], f"frame {i}"
+        assert a.minimap_bounds == b.minimap_bounds, f"frame {i}"
+
+
+def test_batch_delta_partial_batch_keeps_chain_consistent():
+    """A short batch pads with zero-change repeats of its last frame; the
+    next batch must still diff against the right chain tail."""
+    seq = [
+        testing.make_frame(1280, 720, marker_lines=[((100 + 8 * i, 100), (420, 300))])
+        for i in range(5)
+    ]
+    bp = BatchPipeline(1280, 720, batch=4, ocr_engine=None)
+    bp.delta_mode = "on"
+    r1 = bp.process(seq[:3])  # partial batch seeds the chain
+    r2 = bp.process(seq[3:])  # delta batch, head diffs vs seq[2]
+    bp.close()
+
+    bp_full = BatchPipeline(1280, 720, batch=4, ocr_engine=None)
+    bp_full.delta_mode = "off"
+    f1 = bp_full.process(seq[:3])
+    f2 = bp_full.process(seq[3:])
+    bp_full.close()
+
+    for a, b in zip(r1 + r2, f1 + f2):
+        assert [
+            ((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in a.markers
+        ] == [((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in b.markers]
+
+
 def test_batch_with_scales():
     ocr = FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)])
     frames = [
