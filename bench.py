@@ -114,7 +114,7 @@ def measure_device(backend, iters: int) -> tuple[float, float]:
 
     g = backend.geom
     (with_ocr, with_quiet, grayscale, crop_h, crop_w,
-     pallas, inline, band) = backend._dispatch_flags
+     pallas, inline, band, quiet_pallas) = backend._dispatch_flags
 
     from smh_tpu.vision.tpu_backend import ROI_CHANNELS
 
@@ -123,7 +123,8 @@ def measure_device(backend, iters: int) -> tuple[float, float]:
             backend.rois_dev,
             map_h=g.map_h, map_w=g.map_w, btn_h=g.btn_h, btn_w=g.btn_w,
             grayscale=grayscale, with_ocr=with_ocr, with_quiet=with_quiet,
-            crop_h=crop_h, crop_w=crop_w, pallas=pallas, scales_inline=inline,
+            crop_h=crop_h, crop_w=crop_w, pallas=pallas,
+            quiet_pallas=quiet_pallas, scales_inline=inline,
             with_mask_output=(backend.lsd_engine != "native") or backend._debug,
             channels=ROI_CHANNELS, scales_band=band,
         )
@@ -326,7 +327,7 @@ def main() -> None:
     from smh_tpu import consts as C
 
     g = C.map_geometry(w, h)
-    with_ocr, with_quiet, _, crop_h, crop_w, _, inline, band = backend._dispatch_flags
+    with_ocr, with_quiet, _, crop_h, crop_w, _, inline, band = backend._dispatch_flags[:8]
     layout = ops_pipeline.hostpack_layout(
         g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=with_quiet,
         crop_h=crop_h, crop_w=crop_w, scales_inline=inline, scales_band=band,

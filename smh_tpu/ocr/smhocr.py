@@ -96,6 +96,11 @@ class SmhOcrEngine:
     binary_ok = True
     # Results derive from the pixels: row-band transport is exact for it.
     image_derived = True
+    # Same digits+'m' template semantics as the on-device reader
+    # (ops/scales_device): the TPU backend replaces this engine wholesale
+    # with ~1.2 KB of device-read records, falling back here on capacity
+    # overflow (validated corpus-wide in tests/test_scales_device.py).
+    device_ok = True
 
     def read(self, gray: np.ndarray, dpi: Optional[int] = None) -> list[OcrResult]:
         from scipy import ndimage

@@ -279,3 +279,186 @@ def _fused_mask_kernel_hbm(r_hbm, g_hbm, b_hbm, bits_ref, r_s, g_s, b_s, sems):
         dma.wait()
 
     _fused_mask_kernel(r_s, g_s, b_s, bits_ref)
+
+
+# ---------------------------------------------------------------------------
+# Quiet-walk kernel: the minimap finder's whole device half in ONE pass.
+#
+# XLA cannot be made to lower the low-edginess mask + its walk reductions
+# efficiently: any vector-shaped reduction over the fused 8-neighbour
+# edginess producer re-materializes the producer per reduce fusion (measured
+# 25.9 ms vs 6 ms for the 4K fused pass with/without the quiet path; every
+# reformulation tried — planar channels, u8 math, masked full-plane
+# reductions, packed dual popcounts, optimization_barrier — still paid
+# ~20 ms). This kernel reads the three channel planes once, computes the
+# quiet mask band-by-band in VMEM, and reduces it to exactly what the walk
+# needs: per-column AND over the two candidate row-runs + the centre row
+# (packed into 3 bits of a [grid, 8, w] i32), and per-row AND over the two
+# candidate column-runs + the centre column ([grid, BAND_H, 128] i32).
+# The host-side walks then run on [w]/[h] vectors — trivial.
+#
+# Exactness: |a-b| summed over channels <= 7 is preserved by clamping each
+# channel diff at 8 (any diff > 7 already fails; clamped sums stay in u8
+# range but we stay in i32 anyway for pltpu.roll).
+# ---------------------------------------------------------------------------
+
+
+# Quiet bands are shorter than the mask kernel's: the SAD math lives in i32
+# (pltpu.roll needs 32-bit lanes), and v5e scoped VMEM (16 MB) OOMs on
+# 256-row i32 temporaries at 4K widths (measured: 29.4 MB stack).
+QBAND_H = 64
+
+
+def _quiet_walk_kernel_factory(h: int, w: int, w8: int, hb: int):
+    cy, cx = h // 2, w // 2
+    lv = abs(h - cy) // 2 - 1  # vertical run length (left/right candidates)
+    lh = abs(w - cx) // 2 - 1  # horizontal run length (up/down candidates)
+
+    def kernel(r_hbm, g_hbm, b_hbm, colpack_ref, rowpack_ref, r_s, g_s, b_s, sems):
+        i = pl.program_id(0)
+        row0 = i * QBAND_H
+
+        copies = []
+        for src, dst, k in ((r_hbm, r_s, 0), (g_hbm, g_s, 1), (b_hbm, b_s, 2)):
+            dma = pltpu.make_async_copy(
+                src.at[pl.ds(row0, QBAND_H + 2 * HALO), :], dst, sems.at[k]
+            )
+            dma.start()
+            copies.append(dma)
+        for dma in copies:
+            dma.wait()
+
+        planes = [
+            r_s[...].astype(jnp.int32),
+            g_s[...].astype(jnp.int32),
+            b_s[...].astype(jnp.int32),
+        ]
+        centres = [p[HALO : HALO + QBAND_H, :] for p in planes]
+
+        quiet = jnp.ones((QBAND_H, w8), dtype=jnp.bool_)
+        for dy in (-1, 0, 1):
+            shifted = [p[HALO + dy : HALO + dy + QBAND_H, :] for p in planes]
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                sad = jnp.zeros((QBAND_H, w8), dtype=jnp.int32)
+                for c, p in zip(centres, shifted):
+                    nb = pltpu.roll(p, (w8 - dx) % w8, axis=1) if dx else p
+                    sad = sad + jnp.minimum(jnp.abs(c - nb), 8)
+                quiet = quiet & (sad <= 7)
+
+        # Borders: the 1-px frame is never quiet (edge pixels have no full
+        # 8-neighbourhood); padded rows/cols neither. Absolute coordinates.
+        rows_abs = i * QBAND_H + jax.lax.broadcasted_iota(jnp.int32, (QBAND_H, w8), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (QBAND_H, w8), 1)
+        quiet = quiet & (rows_abs >= 1) & (rows_abs <= h - 2)
+        quiet = quiet & (cols >= 1) & (cols <= w - 2)
+        qi = quiet.astype(jnp.int32)
+
+        # Column-run partials: AND over this band's rows within each
+        # candidate row range (outside rows contribute the AND identity).
+        def col_all(lo, hi):
+            inside = (rows_abs >= lo) & (rows_abs < hi)
+            return jnp.min(jnp.where(inside, qi, 1), axis=0)  # [w8]
+
+        pa = col_all(cy + 1, cy + 1 + lv)  # run downward (left candidate)
+        pb = col_all(cy - lv, cy)  # run upward (right candidate)
+        pc = col_all(cy, cy + 1)  # centre row
+        colpack = pa + 2 * pb + 4 * pc
+        colpack_ref[...] = jnp.broadcast_to(colpack[None, None, :], (1, 8, w8))
+
+        # Row-run partials: AND over each candidate column range per row.
+        def row_all(lo, hi):
+            inside = (cols >= lo) & (cols < hi)
+            return jnp.min(jnp.where(inside, qi, 1), axis=1)  # [QBAND_H]
+
+        ra = row_all(cx + 1, cx + 1 + lh)  # run rightward (top candidate)
+        rb = row_all(cx - lh, cx)  # run leftward (bottom candidate)
+        rc = row_all(cx, cx + 1)  # centre column
+        rowpack = ra + 2 * rb + 4 * rc
+        rowpack_ref[...] = jnp.broadcast_to(rowpack[None, :, None], (1, QBAND_H, 128))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def minimap_rect_pallas(map_bgra: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """BGRA/BGR u8 [H, W, C] map ROI -> i32 [4] minimap rect.
+
+    Same result as _minimap_rect(_edgy_quiet(map)) (ops/pipeline.py), with
+    the edginess + run reductions fused into one VMEM pass; only the
+    [w]/[h]-vector walks remain in XLA."""
+    from . import pipeline as _pl
+
+    h, w = map_bgra.shape[:2]
+    w8 = ((w + 127) // 128) * 128
+    hb = ((h + QBAND_H - 1) // QBAND_H) * QBAND_H
+    grid_n = hb // QBAND_H
+
+    planes = []
+    for c in range(3):
+        p = jnp.pad(map_bgra[..., c], ((HALO, HALO + hb - h), (0, w8 - w)))
+        planes.append(p)
+
+    colpack, rowpack = pl.pallas_call(
+        _quiet_walk_kernel_factory(h, w, w8, hb),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid_n, 8, w8), jnp.int32),
+            jax.ShapeDtypeStruct((grid_n, QBAND_H, 128), jnp.int32),
+        ),
+        grid=(grid_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 8, w8), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, QBAND_H, 128), lambda i: (i, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((QBAND_H + 2 * HALO, w8), jnp.uint8),
+            pltpu.VMEM((QBAND_H + 2 * HALO, w8), jnp.uint8),
+            pltpu.VMEM((QBAND_H + 2 * HALO, w8), jnp.uint8),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(planes[0], planes[1], planes[2])
+
+    # Column partials AND across bands — BITWISE (a min over the packed
+    # values would let one band's set bit survive another band's clear bit);
+    # row partials are disjoint per band (each absolute row lives in exactly
+    # one program's block).
+    import operator as _op
+    from functools import reduce as _reduce
+
+    cols = _reduce(_op.and_, [colpack[i, 0, :w] for i in range(grid_n)])
+    rows = rowpack[:, :, 0].reshape(-1)[:h]
+
+    cy, cx = h // 2, w // 2
+    lv = abs(h - cy) // 2 - 1
+    lh = abs(w - cx) // 2 - 1
+
+    def unpack(v, bit):
+        return ((v >> bit) & 1) == 1
+
+    def bound_gate(vec, lo, hi, dim):
+        """The walk's run-bound rule (see pipeline._minimap_rect)."""
+        if hi <= lo:
+            return jnp.ones_like(vec)
+        if lo < 3 or (hi - 1) > dim - 3:
+            return jnp.zeros_like(vec)
+        return vec
+
+    down_run = bound_gate(unpack(cols, 0), cy + 1, cy + 1 + lv, h)
+    up_run = bound_gate(unpack(cols, 1), cy - lv, cy, h)
+    centre_row = unpack(cols, 2)
+    right_run = bound_gate(unpack(rows, 0), cx + 1, cx + 1 + lh, w)
+    left_run = bound_gate(unpack(rows, 1), cx - lh, cx, w)
+    centre_col = unpack(rows, 2)
+
+    left_q = centre_row & down_run
+    right_q = centre_row & up_run
+    up_q = centre_col & right_run
+    down_q = centre_col & left_run
+    return _pl._minimap_walks(left_q, right_q, up_q, down_q, h, w)

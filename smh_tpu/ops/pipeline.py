@@ -72,6 +72,22 @@ def pallas_mode() -> str:
     return "tpu" if jax.default_backend() == "tpu" else "interpret"
 
 
+def quiet_pallas_mode() -> str:
+    """"off" | "tpu": how the minimap quiet path should run.
+
+    Unlike the classify kernel (opt-in; XLA already fuses that stage well),
+    the quiet-walk kernel is ON BY DEFAULT on TPU hardware: XLA's lowering
+    of the walk's vector reductions over the 8-neighbour edginess producer
+    re-materializes the producer per reduction (~20 ms of a 26 ms 4K fused
+    pass), and no graph-level reformulation avoids it (see
+    pallas_kernels.minimap_rect_pallas). SMH_QUIET_PALLAS=0 opts out;
+    non-TPU backends always use the XLA path (interpret-mode parity is
+    exercised by tests, not production)."""
+    if os.environ.get("SMH_QUIET_PALLAS", "1") == "0":
+        return "off"
+    return "tpu" if jax.default_backend() == "tpu" else "off"
+
+
 def _bgra_to_rgb(bgra: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([bgra[..., 2], bgra[..., 1], bgra[..., 0]], axis=-1)
 
@@ -199,29 +215,57 @@ def _minimap_rect(quiet: jnp.ndarray) -> jnp.ndarray:
     cx, cy = w // 2, h // 2
     lv = abs(h - cy) // 2 - 1  # vertical run length (left/right candidates)
     lh = abs(w - cx) // 2 - 1  # horizontal run length (up/down candidates)
+    riota = jax.lax.iota(I32, h)
+    ciota = jax.lax.iota(I32, w)
 
-    def run_ok_cols(y_lo: int, y_hi: int) -> jnp.ndarray:
-        """all(quiet[y_lo:y_hi, x]) per column, with the walk's bound rule:
-        runs falling outside [3, dim-3] disqualify every candidate."""
-        if y_hi <= y_lo:
-            return jnp.ones((w,), dtype=bool)
-        if y_lo < 3 or (y_hi - 1) > h - 3:
-            return jnp.zeros((w,), dtype=bool)
-        return quiet[y_lo:y_hi, :].all(axis=0)
+    # Every LARGE reduction over the quiet plane re-runs the fused
+    # (8-neighbour) edginess producer for its own pass — XLA duplicates the
+    # producer into each reduce fusion rather than materializing the plane
+    # (measured: each extra consumer pass costs ~6.6 ms at 4K, and the naive
+    # four run-checks put the whole fused pass at 25.9 ms vs 6 ms without
+    # quiet). Both run-checks per axis therefore ride ONE weighted sum:
+    # counts < 2^12 pixels, so two masked popcounts pack into a single i32
+    # lane at weights 1 and 2^12 — one reduction pass per axis, two total.
+    def packed_counts(iota, lo_a, hi_a, lo_b, hi_b, axis):
+        in_a = ((iota >= lo_a) & (iota < hi_a)).astype(I32)
+        in_b = ((iota >= lo_b) & (iota < hi_b)).astype(I32)
+        wvec = in_a + (in_b << 12)
+        wgt = wvec[:, None] if axis == 0 else wvec[None, :]
+        s = (quiet.astype(I32) * wgt).sum(axis=axis)
+        return s & 0xFFF, s >> 12
 
-    def run_ok_rows(x_lo: int, x_hi: int) -> jnp.ndarray:
-        if x_hi <= x_lo:
-            return jnp.ones((h,), dtype=bool)
-        if x_lo < 3 or (x_hi - 1) > w - 3:
-            return jnp.zeros((h,), dtype=bool)
-        return quiet[:, x_lo:x_hi].all(axis=1)
+    def run_check(count, lo: int, hi: int, dim: int, out_dim: int):
+        """Original walk-bound rule: empty run -> all pass; run outside
+        [3, dim-3] -> none pass; else the masked popcount must equal the
+        run length."""
+        if hi <= lo:
+            return jnp.ones((out_dim,), bool)
+        if lo < 3 or (hi - 1) > dim - 3:
+            return jnp.zeros((out_dim,), bool)
+        return count == (hi - lo)
+
+    # Column checks: run downward (cy+1..cy+lv) and upward (cy-lv..cy-1).
+    ca, cb = packed_counts(riota, cy + 1, cy + 1 + lv, cy - lv, cy, axis=0)
+    down_run = run_check(ca, cy + 1, cy + 1 + lv, h, w)
+    up_run = run_check(cb, cy - lv, cy, h, w)
+    ra, rb = packed_counts(ciota, cx + 1, cx + 1 + lh, cx - lh, cx, axis=1)
+    right_run = run_check(ra, cx + 1, cx + 1 + lh, w, h)
+    left_run = run_check(rb, cx - lh, cx, w, h)
 
     centre_row = quiet[cy, :]
     centre_col = quiet[:, cx]
-    left_q = centre_row & run_ok_cols(cy + 1, cy + 1 + lv)  # run downward
-    right_q = centre_row & run_ok_cols(cy - lv, cy)  # run upward
-    up_q = centre_col & run_ok_rows(cx + 1, cx + 1 + lh)  # run rightward
-    down_q = centre_col & run_ok_rows(cx - lh, cx)  # run leftward
+    left_q = centre_row & down_run  # run downward
+    right_q = centre_row & up_run  # run upward
+    up_q = centre_col & right_run  # run rightward
+    down_q = centre_col & left_run  # run leftward
+    return _minimap_walks(left_q, right_q, up_q, down_q, h, w)
+
+
+def _minimap_walks(left_q, right_q, up_q, down_q, h: int, w: int) -> jnp.ndarray:
+    """The centre-out first-true walks over the per-direction qualifier
+    vectors (shared by the XLA path above and the Pallas quiet-walk kernel,
+    pallas_kernels.minimap_rect_pallas)."""
+    cx, cy = w // 2, h // 2
 
     def walk_down(q: jnp.ndarray, start: int) -> jnp.ndarray:
         """First qualifying index walking start-1, start-2, ..., 3; the walk
@@ -323,8 +367,16 @@ def red_gate(frame_dev: jax.Array) -> float:
     return float(_red_gate_roi(btn))
 
 
-@functools.partial(jax.jit, static_argnames=("grayscale", "with_isolated", "pallas"))
-def _analyze_map(map_bgra: jnp.ndarray, grayscale: bool, with_isolated: bool, pallas: str = "off"):
+@functools.partial(
+    jax.jit, static_argnames=("grayscale", "with_isolated", "pallas", "quiet_pallas")
+)
+def _analyze_map(
+    map_bgra: jnp.ndarray,
+    grayscale: bool,
+    with_isolated: bool,
+    pallas: str = "off",
+    quiet_pallas: str = "off",
+):
     """The fused pass over the map ROI only. Uploading just the ROIs instead
     of the whole frame cuts H2D ~2.3x (the map is the only region the
     pipeline reads besides the close-button; the BRQ is the map's own
@@ -364,7 +416,6 @@ def _analyze_map(map_bgra: jnp.ndarray, grayscale: bool, with_isolated: bool, pa
 
     ocr_img = _ocr_preprocess(brq_rgb)
     scales_bool = hsv.luma8(brq_rgb) != 0
-    quiet_bool = _edgy_quiet(map_bgra)
 
     # Cheap device-side checksum of the ui plane: lets the host skip the
     # (expensive) D2H + web push when the visible map did not change.
@@ -381,10 +432,20 @@ def _analyze_map(map_bgra: jnp.ndarray, grayscale: bool, with_isolated: bool, pa
         "lsd_mask": lsd_mask,  # u8 full mask, stays device-side for the march
         "lsd_bits": pack_bits(lsd_bool),
         "scales_bits": pack_bits(scales_bool),
-        "quiet_bool": quiet_bool,
-        "quiet_bits": pack_bits(quiet_bool),
+        "scales_bool": scales_bool,
         "ocr_img": ocr_img,
     }
+    if quiet_pallas != "off":
+        # Quiet mask + walk reductions in one Pallas pass (XLA lowers the
+        # big vector reductions over the edginess producer catastrophically;
+        # see pallas_kernels.minimap_rect_pallas).
+        from . import pallas_kernels as pk
+
+        out["minimap_rect_dev"] = pk.minimap_rect_pallas(
+            map_bgra, interpret=(quiet_pallas == "interpret")
+        )
+    else:
+        out["quiet_bool"] = _edgy_quiet(map_bgra)
     if with_isolated:
         out["isolated_map"] = jnp.where(marker[..., None], map_rgb, jnp.uint8(0))
         out["cropped_brq"] = brq_rgb
@@ -428,7 +489,12 @@ def hostpack_layout(
                  map is panning and the engine reads gray levels: one fetch
                  beats two);
       "binary" — scales binarize bits + bit-packed OCR *text mask* inline
-                 (engines with binary_ok only threshold the image: 8x less).
+                 (engines with binary_ok only threshold the image: 8x less);
+      "device" — no image at all: the TPU reads the scales itself (glyph
+                 segmentation + template matmul + bar scan, ops/scales_device)
+                 and ships ~1.2 KB of fixed-shape word records. The
+                 scalespack stays device-resident as the capacity-overflow
+                 fallback.
     """
     crop_h = map_h if crop_h is None else crop_h
     crop_w = map_w if crop_w is None else crop_w
@@ -450,6 +516,10 @@ def hostpack_layout(
             sections += [("scales_bits", rows * row_bits), ("ocr_bits", rows * row_bits)]
         elif scales_inline == "gray":
             sections += [("scales_bits", rows * row_bits), ("ocr_img", rows * brq_w)]
+        elif scales_inline == "device":
+            from . import scales_device as _sd
+
+            sections += [("scales_rec", _sd.REC_BYTES)]
     if with_quiet:
         sections += [("minimap_rect", 16)]
     sections += [("lsd_crop", crop_bytes)]
@@ -549,8 +619,21 @@ def _pack_outputs(
             ]
         elif scales_inline == "gray":
             parts += [out["scales_bits"].reshape(-1), out["ocr_img"].reshape(-1)]
+        elif scales_inline == "device":
+            from . import scales_device as _sd
+
+            rec = _sd.scales_records(
+                out["ocr_img"] < jnp.uint8(OCR_BINARY_THRESHOLD),
+                out["scales_bool"],
+                jnp.asarray(_sd.device_templates()),
+            )
+            parts += [jax.lax.bitcast_convert_type(rec, jnp.uint8).reshape(-1)]
     if with_quiet:
-        rect = _minimap_rect(out["quiet_bool"])
+        rect = (
+            out["minimap_rect_dev"]
+            if "minimap_rect_dev" in out
+            else _minimap_rect(out["quiet_bool"])
+        )
         parts += [jax.lax.bitcast_convert_type(rect, jnp.uint8).reshape(-1)]
     parts += [pack_bits(crop).reshape(-1)]
     pack = jnp.concatenate(parts)
@@ -566,10 +649,12 @@ def _pack_outputs(
     }
     if with_mask_output:
         res["lsd_mask"] = out["lsd_mask"]
-    if with_ocr and (scales_inline == "none" or scales_band is not None):
+    if with_ocr and (
+        scales_inline in ("none", "device") or scales_band is not None
+    ):
         # The full-resolution images: the lazy transport's payload, and the
-        # band transport's fallback when the band misses (rare: text rows
-        # taller than the band window).
+        # band/device transports' fallback (band misses; device capacity
+        # overflow with no trusted read).
         res["scalespack"] = jnp.concatenate(
             [out["scales_bits"].reshape(-1), out["ocr_img"].reshape(-1)]
         )
@@ -588,6 +673,7 @@ def _analyze_flat_core(
     crop_h: int | None = None,
     crop_w: int | None = None,
     pallas: str = "off",
+    quiet_pallas: str = "off",
     scales_inline: str = "none",
     with_mask_output: bool = True,
     channels: int = 4,
@@ -601,7 +687,10 @@ def _analyze_flat_core(
     map_bytes = map_h * map_w * channels
     map_bgra = rois[:map_bytes].reshape(map_h, map_w, channels)
     btn_bgra = rois[map_bytes : map_bytes + btn_h * btn_w * channels].reshape(btn_h, btn_w, channels)
-    out = _analyze_map(map_bgra, grayscale=grayscale, with_isolated=False, pallas=pallas)
+    out = _analyze_map(
+        map_bgra, grayscale=grayscale, with_isolated=False, pallas=pallas,
+        quiet_pallas=quiet_pallas,
+    )
     red = _red_gate_roi(btn_bgra)
     return _pack_outputs(
         out, red, with_ocr, with_quiet, crop_h, crop_w, scales_inline,
@@ -614,6 +703,7 @@ def _analyze_flat_core(
     static_argnames=(
         "map_h", "map_w", "btn_h", "btn_w",
         "grayscale", "with_ocr", "with_quiet", "crop_h", "crop_w", "pallas",
+        "quiet_pallas",
         "scales_inline", "with_mask_output", "channels", "scales_band",
         "with_resident",
     ),
@@ -630,6 +720,7 @@ def _analyze_packed_flat(
     crop_h: int | None = None,
     crop_w: int | None = None,
     pallas: str = "off",
+    quiet_pallas: str = "off",
     scales_inline: str = "none",
     with_mask_output: bool = True,
     channels: int = 4,
@@ -647,7 +738,7 @@ def _analyze_packed_flat(
     out = _analyze_flat_core(
         rois, map_h, map_w, btn_h, btn_w, grayscale,
         with_ocr=with_ocr, with_quiet=with_quiet, crop_h=crop_h, crop_w=crop_w,
-        pallas=pallas, scales_inline=scales_inline,
+        pallas=pallas, quiet_pallas=quiet_pallas, scales_inline=scales_inline,
         with_mask_output=with_mask_output, channels=channels,
         scales_band=scales_band,
     )
@@ -662,6 +753,7 @@ def _analyze_packed_flat(
         "bucket", "chunk",
         "map_h", "map_w", "btn_h", "btn_w",
         "grayscale", "with_ocr", "with_quiet", "crop_h", "crop_w", "pallas",
+        "quiet_pallas",
         "scales_inline", "with_mask_output", "channels", "scales_band",
     ),
 )
@@ -680,6 +772,7 @@ def _analyze_delta_flat(
     crop_h: int | None = None,
     crop_w: int | None = None,
     pallas: str = "off",
+    quiet_pallas: str = "off",
     scales_inline: str = "none",
     with_mask_output: bool = True,
     channels: int = 4,
@@ -704,7 +797,7 @@ def _analyze_delta_flat(
     out = _analyze_flat_core(
         rois, map_h, map_w, btn_h, btn_w, grayscale,
         with_ocr=with_ocr, with_quiet=with_quiet, crop_h=crop_h, crop_w=crop_w,
-        pallas=pallas, scales_inline=scales_inline,
+        pallas=pallas, quiet_pallas=quiet_pallas, scales_inline=scales_inline,
         with_mask_output=with_mask_output, channels=channels,
         scales_band=scales_band,
     )
@@ -739,7 +832,7 @@ def _analyze_packed(
     static_argnames=(
         "bucket", "chunk",
         "map_h", "map_w", "btn_h", "btn_w", "grayscale", "with_ocr",
-        "crop_h", "crop_w", "scales_inline", "channels",
+        "crop_h", "crop_w", "scales_inline", "channels", "quiet_pallas",
     ),
 )
 def _analyze_batch_delta(
@@ -757,6 +850,7 @@ def _analyze_batch_delta(
     crop_w: int | None = None,
     scales_inline: str = "none",
     channels: int = 4,
+    quiet_pallas: str = "off",
 ):
     """Batched delta pass: B frames expressed as chunk-updates against a
     device-resident chain (frame i diffs against frame i-1; frame 0 against
@@ -774,28 +868,34 @@ def _analyze_batch_delta(
     )
     datas = buf[4 * bucket * b :].reshape(b, bucket, chunk)
 
+    with_spack = with_ocr and scales_inline in ("none", "device")
+
     def step(res2d, upd):
         idx, data = upd
         new2d = res2d.at[idx].set(data)
         out = _analyze_flat_core(
             new2d.reshape(-1), map_h, map_w, btn_h, btn_w, grayscale,
             with_ocr=with_ocr, with_quiet=True, crop_h=crop_h, crop_w=crop_w,
-            scales_inline=scales_inline, with_mask_output=False,
-            channels=channels,
+            quiet_pallas=quiet_pallas, scales_inline=scales_inline,
+            with_mask_output=False, channels=channels,
         )
-        return new2d, (out["hostpack"], out["lsd_bits"])
+        extras = (out["scalespack"],) if with_spack else ()
+        return new2d, (out["hostpack"], out["lsd_bits"]) + extras
 
-    res2d, (packs, bits) = jax.lax.scan(
+    res2d, outs = jax.lax.scan(
         step, resident.reshape(n_total, chunk), (idxs, datas)
     )
-    return {"hostpack": packs, "lsd_bits": bits, "resident": res2d.reshape(-1)}
+    res = {"hostpack": outs[0], "lsd_bits": outs[1], "resident": res2d.reshape(-1)}
+    if with_spack:
+        res["scalespack"] = outs[2]
+    return res
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "map_h", "map_w", "btn_h", "btn_w", "grayscale", "with_ocr", "crop_h", "crop_w",
-        "scales_inline", "channels", "resident_row",
+        "scales_inline", "channels", "resident_row", "quiet_pallas",
     ),
 )
 def _analyze_batch_packed(
@@ -811,6 +911,7 @@ def _analyze_batch_packed(
     scales_inline: str = "none",
     channels: int = 4,
     resident_row: int | None = None,
+    quiet_pallas: str = "off",
 ):
     """Batched fused pass: B frames in, ONE [B, pack_bytes] hostpack out.
 
@@ -834,17 +935,18 @@ def _analyze_batch_packed(
             with_ocr=with_ocr,
             crop_h=crop_h,
             crop_w=crop_w,
+            quiet_pallas=quiet_pallas,
             scales_inline=scales_inline,
             with_mask_output=False,
             channels=channels,
         )
-        if with_ocr and scales_inline == "none":
+        if with_ocr and scales_inline in ("none", "device"):
             return out["hostpack"], out["lsd_bits"], out["scalespack"]
         return out["hostpack"], out["lsd_bits"]
 
     outs = jax.vmap(one)(rois)
     res = {"hostpack": outs[0], "lsd_bits": outs[1]}
-    if with_ocr and scales_inline == "none":
+    if with_ocr and scales_inline in ("none", "device"):
         res["scalespack"] = outs[2]
     if resident_row is not None:
         res["resident"] = rois[resident_row]

@@ -30,11 +30,12 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
     for w, h in resolutions:
         t0 = time.time()
         be = TpuBackend()
-        # Default engines (smhocr) are binary_ok and image-derived; warm that
-        # transport incl. the OCR text-row band buckets. (A grayscale
-        # engine's buckets compile on first use.)
+        # Default engines (smhocr) take the on-device scales reader; the
+        # binary band transport stays warm as the SMH_DEVICE_SCALES=0 /
+        # overflow-session fallback.
         be.scales_binary_ok = True
         be.scales_image_derived = True
+        be.scales_device_ok = True
         frame = testing.make_frame(w, h, marker_lines=[((50, 50), (200, 120))])
         be.load_frame(frame)
         out = be.crop_to_map(grayscale)
@@ -52,12 +53,15 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
                 be.dispatch(grayscale)
                 be.crop_to_map(grayscale)
             be._rung_h = be._rung_w = _RUNG_HALF
-        # Band-rung buckets (the band ladder adapts at runtime).
+        # Band-rung buckets (binary transport; the band ladder adapts at
+        # runtime when the device reader is disabled).
+        be.scales_device_ok = False
         for band_rung in range(len(_dim_ladder(be.geom.brq_h))):
             be._band_rung = band_rung
             be.dispatch(grayscale)
             be.crop_to_map(grayscale)
         be._band_rung = _RUNG_HALF
+        be.scales_device_ok = True
         # Delta-transport buckets: warm the chunk-count buckets a live
         # session typically visits (a marker drag is a few hundred chunks).
         if be._delta_active(be._pending_host.size if be._pending_host is not None else 0):
@@ -79,11 +83,14 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
                 frame = f2  # alternate so each load really diffs
         # Scales-transport variants the live loop flips between: inline
         # ("binary" warmed above) and checksum-only ("none" — entered after
-        # a few stable frames on any static map).
+        # a few stable frames on any static map; device engines never drop
+        # to it, so warm it with the device reader off).
+        be.scales_device_ok = False
         be._scales_inline = False
         be.dispatch(grayscale)
         be.crop_to_map(grayscale)
         be._scales_inline = True
+        be.scales_device_ok = True
         # Minimap-cadence variant (minimap rect dropped from the pack).
         be.quiet_enabled = False
         be.dispatch(grayscale)

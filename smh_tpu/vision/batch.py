@@ -127,6 +127,20 @@ class BatchPipeline:
             canvas[oy : oy + crop_mask.shape[0], ox : ox + crop_mask.shape[1]] = crop_mask
         return vlsd.find_lines(canvas, C.LSD_MAX_GAP, oracle_march)
 
+    def _host_ratio(self, ocr_img, scales_img, lazy_scales_img=None):
+        """Host engine + bar walk over materialized planes (the non-device
+        path, and the device path's overflow fallback)."""
+        with self._ocr_lock:  # engine singletons are not re-entrant
+            ocr_results = self.ocr_engine.read(ocr_img, None)
+        from .pipeline import _parse_scales
+
+        scales, start_y = _parse_scales(ocr_results)
+        if not scales or start_y is None:
+            return None
+        if scales_img is None:
+            scales_img = lazy_scales_img()
+        return mpx.calc_meters_to_px_ratio(scales, scales_img)
+
     def _delta_updates(self, rois: np.ndarray, n: int):
         """Per-frame changed-chunk updates against the chain, or None when a
         frame changed too much (the full batch upload wins)."""
@@ -168,11 +182,24 @@ class BatchPipeline:
         rois = self._pack_rois(frames)
 
         with_ocr = self.ocr_engine is not None
-        # Batch mode is one fetch per batch, so the scales/OCR images always
-        # ride inline (bit-packed for binary_ok engines).
+        # Batch mode is one fetch per batch. Device-capable engines (smhocr
+        # semantics) ride the ~1.2 KB record transport — the TPU reads every
+        # frame's scales itself and host OCR vanishes from the batch loop
+        # (fallback to the engine over that frame's scalespack on capacity
+        # overflow). Others get the images inline (bit-packed if binary_ok).
+        import os as _os
+
         inline = "none"
         if with_ocr:
-            inline = "binary" if getattr(self.ocr_engine, "binary_ok", False) else "gray"
+            if (
+                getattr(self.ocr_engine, "device_ok", False)
+                and _os.environ.get("SMH_DEVICE_SCALES", "1") != "0"
+            ):
+                inline = "device"
+            elif getattr(self.ocr_engine, "binary_ok", False):
+                inline = "binary"
+            else:
+                inline = "gray"
         kw = dict(
             map_h=g.map_h,
             map_w=g.map_w,
@@ -184,6 +211,7 @@ class BatchPipeline:
             crop_w=self.crop_w,
             scales_inline=inline,
             channels=3,
+            quiet_pallas=ops_pipeline.quiet_pallas_mode(),
         )
         delta_ok = (
             self.delta_mode not in ("0", "off")
@@ -276,23 +304,40 @@ class BatchPipeline:
                     ratio = self._scales_cache[check]
                 else:
                     brq_row = (g.brq_w + 7) // 8
-                    if inline == "binary":
-                        ocr_img = ops_pipeline.binary_ocr_image_host(
-                            sect(i, "ocr_bits").reshape(g.brq_h, brq_row), g.brq_w
-                        )
-                    else:
-                        ocr_img = sect(i, "ocr_img").reshape(g.brq_h, g.brq_w)
-                    with self._ocr_lock:  # engine singletons are not re-entrant
-                        ocr_results = self.ocr_engine.read(ocr_img, None)
-                    from .pipeline import _parse_scales
+                    if inline == "device":
+                        from ..ops import scales_device as sdv
 
-                    scales, start_y = _parse_scales(ocr_results)
-                    if scales and start_y is not None:
-                        scales_img = ops_pipeline.unpack_bits_host(
-                            sect(i, "scales_bits").reshape(g.brq_h, brq_row),
-                            g.brq_w,
-                        ) * np.uint8(255)
-                        ratio = mpx.calc_meters_to_px_ratio(scales, scales_img)
+                        dev = sdv.decode_records(sect(i, "scales_rec").view(np.int16))
+                        ratio = sdv.ratio_from_records(dev)
+                        if ratio is None and not dev.complete:
+                            # capacity overflow with nothing trusted: host
+                            # engine over THIS frame's scalespack (one lazy
+                            # per-frame fetch; rare)
+                            spack = np.asarray(out["scalespack"][i])
+                            slay = ops_pipeline.scalespack_layout(g.map_h, g.map_w)
+                            so, ss = slay["scales_bits"]
+                            oo, os_ = slay["ocr_img"]
+                            ocr_img = spack[oo : oo + os_].reshape(g.brq_h, g.brq_w)
+                            scales_img = ops_pipeline.unpack_bits_host(
+                                spack[so : so + ss].reshape(g.brq_h, brq_row), g.brq_w
+                            ) * np.uint8(255)
+                            ratio = self._host_ratio(ocr_img, scales_img)
+                    else:
+                        if inline == "binary":
+                            ocr_img = ops_pipeline.binary_ocr_image_host(
+                                sect(i, "ocr_bits").reshape(g.brq_h, brq_row), g.brq_w
+                            )
+                        else:
+                            ocr_img = sect(i, "ocr_img").reshape(g.brq_h, g.brq_w)
+                        scales_img = None
+
+                        def lazy_scales_img():
+                            return ops_pipeline.unpack_bits_host(
+                                sect(i, "scales_bits").reshape(g.brq_h, brq_row),
+                                g.brq_w,
+                            ) * np.uint8(255)
+
+                        ratio = self._host_ratio(ocr_img, None, lazy_scales_img)
                     if len(self._scales_cache) > 256:
                         self._scales_cache.clear()
                     self._scales_cache[check] = ratio

@@ -198,6 +198,12 @@ class VisionState:
             backend.scales_image_derived = bool(
                 getattr(self.ocr_engine, "image_derived", False)
             )
+        if hasattr(backend, "scales_device_ok"):
+            import os as _os
+
+            backend.scales_device_ok = bool(
+                getattr(self.ocr_engine, "device_ok", False)
+            ) and _os.environ.get("SMH_DEVICE_SCALES", "1") != "0"
 
         frame_size = (frame.image.shape[1], frame.image.shape[0])
         self._frame_counter += 1
@@ -319,6 +325,22 @@ class VisionState:
                 ):
                     return self._scales_cache[1]
 
+            # Device-read scales: the dispatch already classified the glyphs
+            # and scanned the bars on the TPU — no image fetch, no host OCR.
+            # (None return = capacity overflow with nothing trusted: take the
+            # image path below for this frame.)
+            dev_fn = getattr(backend, "device_scales", None)
+            dev = (
+                dev_fn()
+                if callable(dev_fn) and not self.collect_debug_overlays
+                else None
+            )
+            if dev is not None:
+                _words, ratio = dev
+                if cache_key is not None:
+                    self._scales_cache = (cache_key, ratio)
+                return ratio
+
             with timeshare(shares, "ocr_preprocess"):
                 ocr_image = backend.ocr_preprocess()
 
@@ -439,6 +461,12 @@ class VisionState:
         key = (job["check"], dpi)
         if self._scales_cache is not None and self._scales_cache[0] == key:
             self._last_ratio = self._scales_cache[1]
+        elif "device" in job:
+            # Device-read scales: already decoded from this frame's hostpack —
+            # consume inline (cheaper than a worker handoff, no fetch at all).
+            _words, ratio = job["device"]
+            self._scales_cache = (key, ratio)
+            self._last_ratio = ratio
         elif self._scales_future is None:
             engine = self.ocr_engine
 

@@ -39,6 +39,7 @@ from .. import consts as C
 from ..geometry import Line, Point
 from ..ops import lsd as ops_lsd
 from ..ops import pipeline as ops_pipeline
+from ..ops import scales_device as ops_scales_device
 from . import lsd
 from .reference import DebugView
 
@@ -191,7 +192,7 @@ class TpuBackend:
         self._march_max_len: Optional[float] = None  # bbox diag bound
         self._debug = False
         self._grayscale = True
-        self._dispatch_flags: tuple = (True, True, True, None, None, "off", "gray", None)
+        self._dispatch_flags: tuple = (True, True, True, None, None, "off", "gray", None, "off")
         self._host: Optional[dict] = None  # parsed hostpack sections
         self._scalespack_host: Optional[np.ndarray] = None
         self._ui_check: Optional[tuple] = None
@@ -209,6 +210,8 @@ class TpuBackend:
             "delta_frames": 0,
             "full_uploads": 0,
             "h2d_bytes": 0,
+            "device_scales_frames": 0,
+            "device_scales_fallbacks": 0,
         }
         # Delta H2D transport chain (SMH_DELTA: auto|0|1; 1 forces it even
         # for tiny frames — used by tests):
@@ -232,6 +235,13 @@ class TpuBackend:
         # Engines whose results derive from the image also allow the row-band
         # transport (ship only the text neighbourhood + bar-scan budget).
         self.scales_image_derived = False
+        # Engines that read thresholded digits+'m' (smhocr semantics) can be
+        # replaced wholesale by the on-device reader: the fused pass segments
+        # glyphs, classifies them against the same templates (one matmul) and
+        # runs the bar scan, shipping ~1.2 KB of records instead of images
+        # (ops/scales_device.py). Capacity overflow falls back to the
+        # scalespack + host engine for that frame.
+        self.scales_device_ok = False
         # Adaptive transport for the scales/OCR images: while their checksum
         # keeps changing (map panning) they ride INLINE in the single
         # hostpack fetch; after _INLINE_STABLE_AFTER unchanged frames they
@@ -437,13 +447,18 @@ class TpuBackend:
         g = self.geom
         crop_h, crop_w = self._crop_size()
         pallas = ops_pipeline.pallas_mode()
-        if not self.scales_enabled or not self._scales_inline:
+        if not self.scales_enabled:
+            inline = "none"
+        elif self.scales_device_ok:
+            inline = "device"  # records are ~1.2 KB: always inline, no band
+        elif not self._scales_inline:
             inline = "none"
         elif self.scales_binary_ok:
             inline = "binary"
         else:
             inline = "gray"
-        band = self._scales_band_size() if inline != "none" else None
+        band = self._scales_band_size() if inline in ("binary", "gray") else None
+        quiet_pallas = ops_pipeline.quiet_pallas_mode()
         self._dispatch_flags = (
             self.scales_enabled,
             self.quiet_enabled,
@@ -453,6 +468,7 @@ class TpuBackend:
             pallas,
             inline,
             band,
+            quiet_pallas,
         )
         kw = dict(
             map_h=g.map_h,
@@ -465,6 +481,7 @@ class TpuBackend:
             crop_h=crop_h,
             crop_w=crop_w,
             pallas=pallas,
+            quiet_pallas=quiet_pallas,
             scales_inline=inline,
             with_mask_output=(self.lsd_engine != "native") or self._debug,
             channels=ROI_CHANNELS,
@@ -537,7 +554,7 @@ class TpuBackend:
         if self._results is None or self._grayscale != grayscale:
             self._grayscale = grayscale
             self.dispatch()
-        with_ocr, with_quiet, _, crop_h, crop_w, _, inline, band = self._dispatch_flags
+        with_ocr, with_quiet, _, crop_h, crop_w, _, inline, band = self._dispatch_flags[:8]
         pack = np.asarray(self._results["hostpack"])
         layout = ops_pipeline.hostpack_layout(
             g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=with_quiet,
@@ -565,6 +582,10 @@ class TpuBackend:
             check = tuple(int(v) for v in sect("scales_check").view(np.uint32))
             self._host["scales_check"] = check
             brq_row = (g.brq_w + 7) // 8
+            if inline == "device":
+                self._host["scales_records"] = ops_scales_device.decode_records(
+                    sect("scales_rec").view(np.int16)
+                )
             if inline in ("binary", "gray"):
                 # Band transport state for the scales consumers:
                 #   None                  -> sections are full-height images
@@ -723,6 +744,26 @@ class TpuBackend:
             return None
         return hash(check) & 0xFFFFFFFF
 
+    def device_scales(self):
+        """(ocr_results, ratio) read entirely ON DEVICE this frame, or None
+        when the dispatch didn't pack records / they lost structure with no
+        trusted read (caller then takes the image path). ratio=None with a
+        non-None return means a clean 'no scales on screen' — the caller
+        must NOT fall back (that's the zero-byte steady state)."""
+        host = self._host or {}
+        dev = host.get("scales_records")
+        if dev is None:
+            return None
+        ratio = ops_scales_device.ratio_from_records(dev)
+        if ratio is not None:
+            self.stats["device_scales_frames"] += 1
+            return dev.words, ratio
+        if dev.complete:
+            self.stats["device_scales_frames"] += 1
+            return dev.words, None
+        self.stats["device_scales_fallbacks"] += 1
+        return None
+
     def _fetch_scalespack(self) -> np.ndarray:
         if self._scalespack_host is None:
             assert self._results is not None and "scalespack" in self._results, (
@@ -772,7 +813,14 @@ class TpuBackend:
         has_inline = "scales_bits_inline" in host and (
             "ocr_bits_inline" in host or "ocr_img_inline" in host
         )
-        needs_fallback = band == "miss" or not (textless or has_inline)
+        records = host.get("scales_records")
+        records_serve = records is not None and (
+            records.complete
+            or ops_scales_device.ratio_from_records(records) is not None
+        )
+        needs_fallback = band == "miss" or not (
+            textless or has_inline or records_serve
+        )
         spack_dev = self._results.get("scalespack") if needs_fallback else None
 
         def fetch() -> tuple[np.ndarray, np.ndarray]:
@@ -790,7 +838,15 @@ class TpuBackend:
                 ocr_img = pack[oo : oo + os_].reshape(g.brq_h, g.brq_w)
             return ocr_img, scales_img
 
-        return {"check": host["scales_check"], "fetch": fetch}
+        job = {"check": host["scales_check"], "fetch": fetch}
+        if records_serve:
+            # Fully-device read: the async step consumes it inline (no
+            # worker, no fetch) — ratio=None here is a clean "no scales".
+            job["device"] = (
+                records.words,
+                ops_scales_device.ratio_from_records(records),
+            )
+        return job
 
     # -- markers branch ---------------------------------------------------------
 

@@ -291,11 +291,17 @@ def textful_frame(off=0, extra_text=()):
     )
 
 
-def smhocr_state():
+def smhocr_state(device_scales: bool = False):
+    """A TPU-backed state with the real smhocr engine. The band-transport
+    tests below exercise the image path, so the on-device scales reader
+    (which would supersede the band entirely) is disabled by default."""
     pytest.importorskip("scipy")
     from smh_tpu.ocr.smhocr import SmhOcrEngine
 
-    state = VisionState(settings=Settings(path=None), ocr_engine=SmhOcrEngine())
+    engine = SmhOcrEngine()
+    if not device_scales:
+        engine.device_ok = False  # instance shadow of the class attr
+    state = VisionState(settings=Settings(path=None), ocr_engine=engine)
     state.settings.set("hardware_acceleration", True)
     return state
 
