@@ -309,19 +309,26 @@ def _fused_mask_kernel_hbm(r_hbm, g_hbm, b_hbm, bits_ref, r_s, g_s, b_s, sems):
 QBAND_H = 64
 
 
-def _quiet_walk_kernel_factory(h: int, w: int, w8: int, hb: int):
+def _quiet_walk_kernel_factory(h: int, w: int, w8: int):
+    """Kernel over a BATCHED input [B, hb+2*HALO, w8] with grid (B, bands).
+
+    The unbatched caller passes B=1. Batching lives in the kernel (2D grid +
+    explicit batch indexing in the DMA slices) because vmap over a
+    pallas_call with ANY-memory-space inputs is unsupported (Mosaic requires
+    trivial block mappings for ANY)."""
     cy, cx = h // 2, w // 2
     lv = abs(h - cy) // 2 - 1  # vertical run length (left/right candidates)
     lh = abs(w - cx) // 2 - 1  # horizontal run length (up/down candidates)
 
     def kernel(r_hbm, g_hbm, b_hbm, colpack_ref, rowpack_ref, r_s, g_s, b_s, sems):
-        i = pl.program_id(0)
+        b = pl.program_id(0)
+        i = pl.program_id(1)
         row0 = i * QBAND_H
 
         copies = []
         for src, dst, k in ((r_hbm, r_s, 0), (g_hbm, g_s, 1), (b_hbm, b_s, 2)):
             dma = pltpu.make_async_copy(
-                src.at[pl.ds(row0, QBAND_H + 2 * HALO), :], dst, sems.at[k]
+                src.at[b, pl.ds(row0, QBAND_H + 2 * HALO), :], dst, sems.at[k]
             )
             dma.start()
             copies.append(dma)
@@ -365,7 +372,7 @@ def _quiet_walk_kernel_factory(h: int, w: int, w8: int, hb: int):
         pb = col_all(cy - lv, cy)  # run upward (right candidate)
         pc = col_all(cy, cy + 1)  # centre row
         colpack = pa + 2 * pb + 4 * pc
-        colpack_ref[...] = jnp.broadcast_to(colpack[None, None, :], (1, 8, w8))
+        colpack_ref[...] = jnp.broadcast_to(colpack[None, None, None, :], colpack_ref.shape)
 
         # Row-run partials: AND over each candidate column range per row.
         def row_all(lo, hi):
@@ -376,45 +383,41 @@ def _quiet_walk_kernel_factory(h: int, w: int, w8: int, hb: int):
         rb = row_all(cx - lh, cx)  # run leftward (bottom candidate)
         rc = row_all(cx, cx + 1)  # centre column
         rowpack = ra + 2 * rb + 4 * rc
-        rowpack_ref[...] = jnp.broadcast_to(rowpack[None, :, None], (1, QBAND_H, 128))
+        rowpack_ref[...] = jnp.broadcast_to(rowpack[None, None, :, None], rowpack_ref.shape)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def minimap_rect_pallas(map_bgra: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """BGRA/BGR u8 [H, W, C] map ROI -> i32 [4] minimap rect.
-
-    Same result as _minimap_rect(_edgy_quiet(map)) (ops/pipeline.py), with
-    the edginess + run reductions fused into one VMEM pass; only the
-    [w]/[h]-vector walks remain in XLA."""
+def _rect_pallas_batched(maps: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """u8 [B, H, W, C] -> i32 [B, 4] minimap rects (one kernel launch,
+    grid (B, bands))."""
     from . import pipeline as _pl
 
-    h, w = map_bgra.shape[:2]
+    bsz, h, w = maps.shape[:3]
     w8 = ((w + 127) // 128) * 128
     hb = ((h + QBAND_H - 1) // QBAND_H) * QBAND_H
     grid_n = hb // QBAND_H
 
     planes = []
     for c in range(3):
-        p = jnp.pad(map_bgra[..., c], ((HALO, HALO + hb - h), (0, w8 - w)))
+        p = jnp.pad(maps[..., c], ((0, 0), (HALO, HALO + hb - h), (0, w8 - w)))
         planes.append(p)
 
     colpack, rowpack = pl.pallas_call(
-        _quiet_walk_kernel_factory(h, w, w8, hb),
+        _quiet_walk_kernel_factory(h, w, w8),
         out_shape=(
-            jax.ShapeDtypeStruct((grid_n, 8, w8), jnp.int32),
-            jax.ShapeDtypeStruct((grid_n, QBAND_H, 128), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, grid_n, 8, w8), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, grid_n, QBAND_H, 128), jnp.int32),
         ),
-        grid=(grid_n,),
+        grid=(bsz, grid_n),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, 8, w8), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, QBAND_H, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 8, w8), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, QBAND_H, 128), lambda b, i: (b, i, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((QBAND_H + 2 * HALO, w8), jnp.uint8),
@@ -432,8 +435,8 @@ def minimap_rect_pallas(map_bgra: jnp.ndarray, interpret: bool = False) -> jnp.n
     import operator as _op
     from functools import reduce as _reduce
 
-    cols = _reduce(_op.and_, [colpack[i, 0, :w] for i in range(grid_n)])
-    rows = rowpack[:, :, 0].reshape(-1)[:h]
+    cols = _reduce(_op.and_, [colpack[:, i, 0, :w] for i in range(grid_n)])  # [B, w]
+    rows = rowpack[:, :, :, 0].reshape(bsz, -1)[:, :h]  # [B, h]
 
     cy, cx = h // 2, w // 2
     lv = abs(h - cy) // 2 - 1
@@ -450,15 +453,51 @@ def minimap_rect_pallas(map_bgra: jnp.ndarray, interpret: bool = False) -> jnp.n
             return jnp.zeros_like(vec)
         return vec
 
-    down_run = bound_gate(unpack(cols, 0), cy + 1, cy + 1 + lv, h)
-    up_run = bound_gate(unpack(cols, 1), cy - lv, cy, h)
-    centre_row = unpack(cols, 2)
-    right_run = bound_gate(unpack(rows, 0), cx + 1, cx + 1 + lh, w)
-    left_run = bound_gate(unpack(rows, 1), cx - lh, cx, w)
-    centre_col = unpack(rows, 2)
+    def one(cols_b, rows_b):
+        down_run = bound_gate(unpack(cols_b, 0), cy + 1, cy + 1 + lv, h)
+        up_run = bound_gate(unpack(cols_b, 1), cy - lv, cy, h)
+        centre_row = unpack(cols_b, 2)
+        right_run = bound_gate(unpack(rows_b, 0), cx + 1, cx + 1 + lh, w)
+        left_run = bound_gate(unpack(rows_b, 1), cx - lh, cx, w)
+        centre_col = unpack(rows_b, 2)
+        return _pl._minimap_walks(
+            centre_row & down_run,
+            centre_row & up_run,
+            centre_col & right_run,
+            centre_col & left_run,
+            h,
+            w,
+        )
 
-    left_q = centre_row & down_run
-    right_q = centre_row & up_run
-    up_q = centre_col & right_run
-    down_q = centre_col & left_run
-    return _pl._minimap_walks(left_q, right_q, up_q, down_q, h, w)
+    return jax.vmap(one)(cols, rows)
+
+
+@functools.lru_cache(maxsize=4)
+def _rect_pallas_vmappable(interpret: bool):
+    """custom_vmap wrapper: a vmap over the single-map entry (the batched
+    fused pass vmaps _analyze_map) reroutes to the natively-batched kernel
+    instead of trying to batch the pallas_call itself."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def rect(map_bgra):
+        return _rect_pallas_batched(map_bgra[None], interpret)[0]
+
+    @rect.def_vmap
+    def _rect_vmap_rule(axis_size, in_batched, maps):
+        (m_batched,) = in_batched
+        assert m_batched, "custom_vmap rule called without a batched operand"
+        return _rect_pallas_batched(maps, interpret), True
+
+    return rect
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def minimap_rect_pallas(map_bgra: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """BGRA/BGR u8 [H, W, C] map ROI -> i32 [4] minimap rect.
+
+    Same result as _minimap_rect(_edgy_quiet(map)) (ops/pipeline.py), with
+    the edginess + run reductions fused into one VMEM pass; only the
+    [w]/[h]-vector walks remain in XLA. vmap-compatible via custom_vmap
+    (batch callers get one launch with grid (B, bands))."""
+    return _rect_pallas_vmappable(interpret)(map_bgra)

@@ -180,6 +180,26 @@ def test_minimap_rect_pallas_interpret_parity():
         assert got.tolist() == want.tolist(), (trial, h, w)
 
 
+def test_minimap_rect_pallas_vmap_parity():
+    """vmap over the kernel (the batch pipeline's shape) must reroute to the
+    natively-batched launch and match per-sample results."""
+    import functools
+
+    from smh_tpu.ops import pallas_kernels as pk
+    from smh_tpu.ops import pipeline as opp
+
+    rng = np.random.default_rng(3)
+    views = rng.integers(0, 256, (3, 150, 200, 3), dtype=np.uint8)
+    views[0, 30:120, 40:160] = 90
+    views[1, 50:100, 60:140] = 91
+    batched = jax.vmap(functools.partial(pk.minimap_rect_pallas, interpret=True))(
+        jnp.asarray(views)
+    )
+    for i in range(3):
+        want = np.asarray(opp._minimap_rect(opp._edgy_quiet(jnp.asarray(views[i]))))
+        assert np.asarray(batched[i]).tolist() == want.tolist(), i
+
+
 @pytest.mark.skipif(not reference_samples_available(), reason="no reference samples")
 def test_corpus_device_reads_match_host():
     """Across the reference screenshot corpus: the device reader parses the
