@@ -227,12 +227,16 @@ def measure_batched(w: int, h: int, iters: int, batch: int = 8) -> tuple[float, 
 
     bp = BatchPipeline(w, h, batch=batch, ocr_engine=SmhOcrEngine())
     n_batches = max(3, iters)
-    frames = make_video_frames(w, h, n=batch * (n_batches + 1))
-    results = bp.process(frames[:batch])  # warm compile + seed the chain
+    frames = make_video_frames(w, h, n=batch * (n_batches + 2))
+    # Warm TWO batches: the first compiles the full-upload bucket and seeds
+    # the chain; the second compiles the delta-scan bucket (the mode every
+    # measured batch runs in).
+    results = bp.process(frames[:batch])
     assert all(not r.sleeping and r.markers for r in results)
+    bp.process(frames[batch : 2 * batch])
     lat = []
     stats0 = dict(bp.stats)
-    for s in range(1, n_batches + 1):
+    for s in range(2, n_batches + 2):
         chunk = frames[s * batch : (s + 1) * batch]
         t0 = time.perf_counter()
         rs = bp.process(chunk)

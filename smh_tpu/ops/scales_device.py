@@ -232,38 +232,35 @@ def scales_records(
     rowany = text.any(axis=1)
     b_starts, b_ends, n_bands = _runs(rowany, MAX_BANDS)
     flags = jnp.where(n_bands > MAX_BANDS, I32(FLAG_BAND_OVERFLOW), I32(0))
-    band_bad = jnp.zeros((MAX_BANDS,), bool)
 
-    # Per-band glyph column runs -> flat glyph slot arrays.
-    all_by0, all_bh, all_gx0, all_gw, all_valid, all_band = [], [], [], [], [], []
-    for b in range(MAX_BANDS):
+    # Per-band glyph column runs, vmapped over bands (an unrolled Python
+    # loop here put tens of thousands of ops in the graph and pushed the
+    # remote compile past 10 minutes per bucket; the vmapped form compiles
+    # the band body once).
+    def band_info(b):
         by0 = jnp.minimum(b_starts[b], h)  # padded slot -> degenerate band
         by1 = jnp.minimum(b_ends[b], h)
         bh = jnp.maximum(by1 - by0, 0)
-        band_valid = jnp.array(b, I32) < n_bands
+        band_valid = b < n_bands
         band = jax.lax.dynamic_slice(text_pad, (by0, 0), (WIN_H, w))
         band = band & (jnp.arange(WIN_H, dtype=I32) < bh)[:, None]
         colany = band.any(axis=0)
         g_starts, g_ends, n_g = _runs(colany, MAX_GPB)
-        band_bad = band_bad.at[b].set(
-            band_valid & ((bh > WIN_H) | (n_g > MAX_GPB))
-        )
-        for gi in range(MAX_GPB):
-            gx0 = jnp.minimum(g_starts[gi], w)
-            gx1 = jnp.minimum(g_ends[gi], w)
-            all_by0.append(by0)
-            all_bh.append(jnp.minimum(bh, WIN_H))
-            all_gx0.append(gx0)
-            all_gw.append(jnp.maximum(gx1 - gx0, 0))
-            all_valid.append(band_valid & (jnp.array(gi, I32) < n_g))
-            all_band.append(jnp.array(b, I32))
+        bad = band_valid & ((bh > WIN_H) | (n_g > MAX_GPB))
+        gx0_b = jnp.minimum(g_starts, w)
+        gw_b = jnp.maximum(jnp.minimum(g_ends, w) - gx0_b, 0)
+        valid_b = band_valid & (jnp.arange(MAX_GPB, dtype=I32) < n_g)
+        return by0, jnp.minimum(bh, WIN_H), bad, gx0_b, gw_b, valid_b
 
-    by0s = jnp.stack(all_by0)
-    bhs = jnp.stack(all_bh)
-    gx0s = jnp.stack(all_gx0)
-    gws = jnp.stack(all_gw)
-    valids = jnp.stack(all_valid)
-    bands = jnp.stack(all_band)
+    by0_b, bh_b, band_bad, gx0_bg, gw_bg, valid_bg = jax.vmap(band_info)(
+        jnp.arange(MAX_BANDS, dtype=I32)
+    )
+    by0s = jnp.repeat(by0_b, MAX_GPB)
+    bhs = jnp.repeat(bh_b, MAX_GPB)
+    gx0s = gx0_bg.reshape(-1)
+    gws = gw_bg.reshape(-1)
+    valids = valid_bg.reshape(-1)
+    bands = jnp.repeat(jnp.arange(MAX_BANDS, dtype=I32), MAX_GPB)
 
     chars, scores, gy0s, gy1s, _counts, oks = _classify_windows(
         text_pad, by0s, bhs, gx0s, gws, valids, templates
@@ -277,33 +274,43 @@ def scales_records(
     # Word grouping per band: x-ordered surviving glyphs chain into the same
     # word while the horizontal gap stays within max(4, 0.9*min_h) and the
     # vertical overlap exceeds half the smaller height (ocr/smhocr.py:127-139).
-    word_of = jnp.full((MAX_BANDS * MAX_GPB,), -1, I32)
-    words_in_band = jnp.zeros((MAX_BANDS,), I32)
-    for b in range(MAX_BANDS):
-        base = b * MAX_GPB
-        wid = I32(-1)
-        has_prev = jnp.array(False)
-        px1 = I32(0)
-        py0 = I32(0)
-        py1 = I32(0)
-        ph = I32(0)
-        for gi in range(MAX_GPB):
-            i = base + gi
-            alive = oks[i]
-            gap = ax0[i] - px1
-            v_overlap = jnp.minimum(ay1[i], py1) - jnp.maximum(ay0[i], py0)
-            min_h = jnp.minimum(heights[i], ph)
+    # Sequential in the glyph slot -> lax.scan (traced once), vmapped bands.
+    def group_band(xs):
+        def step(carry, x):
+            wid, has_prev, px1, py0, py1, ph = carry
+            alive, x0, x1, y0, y1, hh = x
+            gap = x0 - px1
+            v_overlap = jnp.minimum(y1, py1) - jnp.maximum(y0, py0)
+            min_h = jnp.minimum(hh, ph)
             gap_max = jnp.maximum(I32(4), (9 * min_h) // 10)
-            same = has_prev & (v_overlap > min_h // 2) & (gap >= -2) & (gap <= gap_max)
+            same = (
+                has_prev & (v_overlap > min_h // 2) & (gap >= -2) & (gap <= gap_max)
+            )
             new_wid = jnp.where(same, wid, wid + 1)
-            word_of = word_of.at[i].set(jnp.where(alive, new_wid, I32(-1)))
-            wid = jnp.where(alive, new_wid, wid)
-            has_prev = has_prev | alive
-            px1 = jnp.where(alive, ax1[i], px1)
-            py0 = jnp.where(alive, ay0[i], py0)
-            py1 = jnp.where(alive, ay1[i], py1)
-            ph = jnp.where(alive, heights[i], ph)
-        words_in_band = words_in_band.at[b].set(wid + 1)
+            carry = (
+                jnp.where(alive, new_wid, wid),
+                has_prev | alive,
+                jnp.where(alive, x1, px1),
+                jnp.where(alive, y0, py0),
+                jnp.where(alive, y1, py1),
+                jnp.where(alive, hh, ph),
+            )
+            return carry, jnp.where(alive, new_wid, I32(-1))
+
+        init = (I32(-1), jnp.array(False), I32(0), I32(0), I32(0), I32(0))
+        (widf, *_), word_of_b = jax.lax.scan(step, init, xs)
+        return word_of_b, widf + 1
+
+    xs_all = (
+        oks.reshape(MAX_BANDS, MAX_GPB),
+        ax0.reshape(MAX_BANDS, MAX_GPB),
+        ax1.reshape(MAX_BANDS, MAX_GPB),
+        ay0.reshape(MAX_BANDS, MAX_GPB),
+        ay1.reshape(MAX_BANDS, MAX_GPB),
+        heights.reshape(MAX_BANDS, MAX_GPB),
+    )
+    word_of_bg, words_in_band = jax.vmap(group_band)(xs_all)
+    word_of = word_of_bg.reshape(-1)
     band_bad = band_bad | (words_in_band > MAX_WPB)
 
     # Scatter glyphs into word slots (invalid -> index MAX_WPB, dropped).

@@ -85,7 +85,10 @@ class BatchPipeline:
 
     def _pack_rois(self, frames: list[np.ndarray]) -> np.ndarray:
         """[B, padded_roi_bytes] u8: per-frame flat BGR ROIs (cvtColor writes
-        straight into the row views; padding rows/tails are zero)."""
+        straight into the row views; padding rows/tails are zero). The
+        per-frame repacks are independent row writes — fanned out on the
+        host pool (a serial loop costs ~15-30 ms/frame at 4K, most of the
+        batch's host half)."""
         from .tpu_backend import _DELTA_CHUNK, _cv2
 
         g = self.geom
@@ -95,7 +98,8 @@ class BatchPipeline:
         out[len(frames) :] = 0
         out[:, roi_bytes:] = 0
         msz = g.map_h * g.map_w * 3
-        for i, f in enumerate(frames):
+
+        def pack_one(i: int, f: np.ndarray) -> None:
             m = f[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w]
             b = f[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w]
             mdst = out[i, :msz].reshape(g.map_h, g.map_w, 3)
@@ -106,6 +110,10 @@ class BatchPipeline:
             else:
                 mdst[...] = m[..., :3]
                 bdst[...] = b[..., :3]
+
+        futs = [self._pool.submit(pack_one, i, f) for i, f in enumerate(frames)]
+        for fu in futs:
+            fu.result()
         return out
 
     def _find_lines(self, crop_mask: np.ndarray, offset: tuple[int, int]) -> list[Line]:

@@ -154,6 +154,34 @@ def test_pipeline_falls_back_on_overflow():
         state.close()
 
 
+def test_async_scales_consumes_device_records_inline():
+    """scales_async=True: the device records ride the snapshot job and are
+    consumed inline (no worker, no scalespack fetch)."""
+    from smh_tpu.settings import Settings
+    from smh_tpu.squadex.capture import Frame
+    from smh_tpu.vision.pipeline import VisionState
+    from test_smhocr import render_text_frame
+
+    state = VisionState(
+        settings=Settings(path=None), ocr_engine=SmhOcrEngine(), scales_async=True
+    )
+    state.settings.set("hardware_acceleration", True)
+    try:
+        frame = Frame(render_text_frame(), 96)
+        res = state.process(frame)
+        assert res is not None
+        # Async: the ratio appears by the same frame (records are inline in
+        # the hostpack — no fetch latency to hide), or at worst next frame.
+        if res.meters_to_px_ratio is None:
+            res = state.process(frame)
+        assert res.meters_to_px_ratio == pytest.approx(300 / 118)
+        be = state.delegate.backend
+        assert be.stats["scalespack_fetches"] == 0
+        assert state._scales_future is None  # consumed inline, no worker
+    finally:
+        state.close()
+
+
 def test_minimap_rect_pallas_interpret_parity():
     """The quiet-walk Pallas kernel (interpret mode) must equal the XLA
     rect on arbitrary map content."""
