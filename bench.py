@@ -221,7 +221,8 @@ def make_video_frames(w: int, h: int, n: int) -> list[np.ndarray]:
 
 def measure_batched(w: int, h: int, iters: int, batch: int = 8) -> tuple[float, dict]:
     """(ms per frame, chain stats) over a video-like sequence processed in
-    consecutive batches — distinct content every frame, chain engaged."""
+    consecutive PIPELINED batches (submit N+1 while N is in flight) —
+    distinct content every frame, delta chain engaged."""
     from smh_tpu.ocr.smhocr import SmhOcrEngine
     from smh_tpu.vision.batch import BatchPipeline
 
@@ -234,17 +235,28 @@ def measure_batched(w: int, h: int, iters: int, batch: int = 8) -> tuple[float, 
     results = bp.process(frames[:batch])
     assert all(not r.sleeping and r.markers for r in results)
     bp.process(frames[batch : 2 * batch])
-    lat = []
     stats0 = dict(bp.stats)
+    job = None
+    lat: list[float] = []
+    t_prev = time.perf_counter()
     for s in range(2, n_batches + 2):
-        chunk = frames[s * batch : (s + 1) * batch]
-        t0 = time.perf_counter()
-        rs = bp.process(chunk)
-        lat.append(time.perf_counter() - t0)
-        assert all(not r.sleeping and r.markers for r in rs)
+        nxt = bp.submit(frames[s * batch : (s + 1) * batch])
+        if job is not None:
+            rs = bp.collect(job)
+            assert all(not r.sleeping and r.markers for r in rs)
+            now = time.perf_counter()
+            lat.append(now - t_prev)
+            t_prev = now
+        job = nxt
+    rs = bp.collect(job)
+    assert all(not r.sleeping and r.markers for r in rs)
+    lat.append(time.perf_counter() - t_prev)
     stats = {k: bp.stats[k] - stats0.get(k, 0) for k in bp.stats}
     stats["h2d_bytes_per_frame"] = round(stats["h2d_bytes"] / (n_batches * batch))
     bp.close()
+    # Median per-batch: the relay occasionally stalls one exchange for tens
+    # of seconds regardless of workload shape; a median keeps the recorded
+    # number the steady state rather than the stall.
     return statistics.median(lat) * 1000.0 / batch, stats
 
 

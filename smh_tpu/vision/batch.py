@@ -81,6 +81,7 @@ class BatchPipeline:
         self.delta_mode = _os.environ.get("SMH_DELTA", "auto")
         self._resident = None  # device flat ROI buffer = last analyzed frame
         self._mirror: Optional[np.ndarray] = None  # host copy of _resident
+        self._uncollected = 0  # submitted-but-not-collected batches
         self.stats = {"delta_batches": 0, "full_batches": 0, "h2d_bytes": 0}
 
     def _pack_rois(self, frames: list[np.ndarray]) -> np.ndarray:
@@ -182,6 +183,19 @@ class BatchPipeline:
 
     def process(self, frames: list[np.ndarray]) -> list[BatchResult]:
         """frames: BGRA u8 arrays of the pipeline resolution, len <= batch."""
+        return self.collect(self.submit(frames))
+
+    def submit(self, frames: list[np.ndarray]) -> dict:
+        """Pack + diff + dispatch a batch WITHOUT waiting for results.
+
+        The returned job is consumed by collect(). Submitting batch N+1
+        while batch N is still in flight overlaps N+1's host half (ROI
+        repack ~100 ms, u64 diff ~30 ms at 4K) and its H2D with N's device
+        compute and fetch — the pipelined shape of tools/analyze_video.py
+        and the bench's stream metric. The delta chain stays correct under
+        pipelining: the diff base is the last SUBMITTED batch's tail (host
+        mirror), and the device resident buffer advances in submit order.
+        """
         from .tpu_backend import _DELTA_CHUNK, _DELTA_MIN_BYTES
 
         g = self.geom
@@ -231,6 +245,13 @@ class BatchPipeline:
         upd = self._delta_updates(rois, n) if delta_ok else None
         if upd is not None:
             buf, bucket = upd
+            if self._uncollected:
+                # Pipelined delta chains must not dispatch against an
+                # unmaterialized resident: scan-over-scan dependency chains
+                # stall this relay for ~80 s at depth 4 (measured; full
+                # uploads don't). A 1-byte fetch of the chain tail forces
+                # the previous program to materialize first (~30 ms).
+                np.asarray(self._resident[:1])
             out = dict(ops_pipeline._analyze_batch_delta(
                 self._resident, buf, bucket=bucket, chunk=_DELTA_CHUNK, **kw
             ))
@@ -244,6 +265,17 @@ class BatchPipeline:
             self.stats["h2d_bytes"] += rois.size
         self._resident = out.pop("resident")
         self._mirror = rois[n - 1]
+        self._uncollected += 1
+        return {"out": out, "n": n, "inline": inline, "with_ocr": with_ocr}
+
+    def collect(self, job: dict) -> list[BatchResult]:
+        """Fetch + host stages for a submitted batch (blocks on the device)."""
+        self._uncollected = max(0, self._uncollected - 1)
+        g = self.geom
+        out = job["out"]
+        n = job["n"]
+        inline = job["inline"]
+        with_ocr = job["with_ocr"]
         packs = np.asarray(out["hostpack"])  # ONE fetch for the whole batch
         layout = ops_pipeline.hostpack_layout(
             g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=True,

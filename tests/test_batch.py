@@ -92,6 +92,45 @@ def test_batch_delta_partial_batch_keeps_chain_consistent():
         ] == [((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in b.markers]
 
 
+def test_pipelined_batches_match_sequential():
+    """submit(N+1) while N is in flight must produce the same results as
+    sequential process() — incl. an intact cross-batch delta chain."""
+    seq = [
+        testing.make_frame(
+            1280, 720,
+            marker_lines=[((100 + 6 * i, 100 + 2 * i), (420 + 6 * i, 300))],
+        )
+        for i in range(12)
+    ]
+
+    bp = BatchPipeline(1280, 720, batch=4, ocr_engine=None)
+    bp.delta_mode = "on"
+    seq_results = []
+    for s in range(0, 12, 4):
+        seq_results.extend(bp.process(seq[s : s + 4]))
+    bp.close()
+
+    bp2 = BatchPipeline(1280, 720, batch=4, ocr_engine=None)
+    bp2.delta_mode = "on"
+    jobs = []
+    piped = []
+    for s in range(0, 12, 4):
+        jobs.append(bp2.submit(seq[s : s + 4]))
+        if len(jobs) > 1:
+            piped.extend(bp2.collect(jobs.pop(0)))
+    while jobs:
+        piped.extend(bp2.collect(jobs.pop(0)))
+    assert bp2.stats["delta_batches"] == 2
+    bp2.close()
+
+    for i, (a, b) in enumerate(zip(seq_results, piped)):
+        assert a.sleeping == b.sleeping, i
+        assert [
+            ((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in a.markers
+        ] == [((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in b.markers], i
+        assert a.minimap_bounds == b.minimap_bounds, i
+
+
 def test_batch_with_scales():
     ocr = FakeOcrEngine([OcrResult("300m", 91.0, 100, 180, 140, 195)])
     frames = [

@@ -39,19 +39,16 @@ def main() -> int:
 
     bp = None
     n = 0
+    emitted = 0
     pending = []
+    in_flight = None  # previous batch's job: collected while the next decodes
     t0 = time.time()
 
-    def flush():
-        nonlocal bp, n
-        if not pending:
-            return
-        if bp is None:
-            h, w = pending[0].shape[:2]
-            bp = BatchPipeline(w, h, batch=args.batch, ocr_engine=engine)
-        for r in bp.process(pending):
+    def emit(results):
+        nonlocal emitted
+        for r in results:
             out = {
-                "frame": n,
+                "frame": emitted,
                 "sleeping": r.sleeping,
                 "markers": [[[l.p0.x, l.p0.y], [l.p1.x, l.p1.y]] for l in r.markers],
                 "meters_to_px_ratio": r.meters_to_px_ratio,
@@ -61,7 +58,22 @@ def main() -> int:
                       r.minimap_bounds.right, r.minimap_bounds.bottom],
             }
             print(json.dumps(out), flush=True)
-            n += 1
+            emitted += 1
+
+    def flush():
+        """Pipelined: submit this batch, then collect the PREVIOUS one —
+        the device chews the new batch while the host handles the old."""
+        nonlocal bp, n, in_flight
+        if not pending:
+            return
+        if bp is None:
+            h, w = pending[0].shape[:2]
+            bp = BatchPipeline(w, h, batch=args.batch, ocr_engine=engine)
+        job = bp.submit(pending)
+        n += len(pending)
+        if in_flight is not None:
+            emit(bp.collect(in_flight))
+        in_flight = job
         pending.clear()
 
     for img in src.iter_frames():
@@ -73,6 +85,8 @@ def main() -> int:
     if args.limit:
         pending[:] = pending[: max(0, args.limit - n)]
     flush()
+    if in_flight is not None:
+        emit(bp.collect(in_flight))
     src.close()
     if bp is not None:
         bp.close()
