@@ -245,9 +245,9 @@ def fused_mask_bits_pallas(map_rgb: jnp.ndarray, interpret: bool = False) -> jnp
         out_shape=jax.ShapeDtypeStruct((hb, w8 // 8), jnp.uint8),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((BAND_H, w8 // 8), lambda i: (i, 0)),
         scratch_shapes=[
@@ -411,9 +411,9 @@ def _rect_pallas_batched(maps: jnp.ndarray, interpret: bool) -> jnp.ndarray:
         ),
         grid=(bsz, grid_n),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, 8, w8), lambda b, i: (b, i, 0, 0)),

@@ -62,14 +62,19 @@ LSD_CROP_MARGIN = C.LSD_MAX_GAP + C.LSD_CENTRE_MAX_DIST + 4  # 24
 def pallas_mode() -> str:
     """"off" | "tpu" | "interpret": how the classify stage should run.
 
-    SMH_USE_PALLAS=1 routes the marker-classify + luma through the Pallas
-    kernel (ops/pallas_kernels.py) instead of the XLA elementwise graph —
-    on TPU as a compiled Mosaic kernel, elsewhere in interpret mode so the
-    flag is testable on CPU. Read per dispatch and passed down as a static
-    arg (env flips retrace instead of going stale)."""
-    if os.environ.get("SMH_USE_PALLAS", "0") != "1":
+    The marker-classify + luma Pallas kernel (ops/pallas_kernels.py) is ON
+    BY DEFAULT on TPU hardware: round-2 validation measured it bit-identical
+    to the XLA elementwise graph and ~19% faster sustained (PARITY.md).
+    SMH_USE_PALLAS=0 opts out; on non-TPU backends the default is the XLA
+    graph, with SMH_USE_PALLAS=1 forcing interpret mode so the routing stays
+    testable on CPU. Read per dispatch and passed down as a static arg (env
+    flips retrace instead of going stale)."""
+    v = os.environ.get("SMH_USE_PALLAS", "")
+    if v == "0":
         return "off"
-    return "tpu" if jax.default_backend() == "tpu" else "interpret"
+    if jax.default_backend() == "tpu":
+        return "tpu"
+    return "interpret" if v == "1" else "off"
 
 
 def quiet_pallas_mode() -> str:
@@ -215,6 +220,12 @@ def _minimap_rect(quiet: jnp.ndarray) -> jnp.ndarray:
     cx, cy = w // 2, h // 2
     lv = abs(h - cy) // 2 - 1  # vertical run length (left/right candidates)
     lh = abs(w - cx) // 2 - 1  # horizontal run length (up/down candidates)
+    # packed_counts packs two masked popcounts into one i32 at weights 1 and
+    # 2^12; a run length >= 4096 (map ROI dimension >= ~16 K) would bleed
+    # into the upper field and corrupt both run checks. Fail loudly instead.
+    assert lv < 4096 and lh < 4096, (
+        f"minimap run length {max(lv, lh)} overflows the packed dual popcount"
+    )
     riota = jax.lax.iota(I32, h)
     ciota = jax.lax.iota(I32, w)
 

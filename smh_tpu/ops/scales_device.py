@@ -439,7 +439,10 @@ class DeviceScales:
     produce a ratio; fall back to the image transport only when structure
     was lost AND the trusted reads found nothing."""
 
-    __slots__ = ("complete", "words", "bars", "trusted", "n_bands", "flags", "band_bits")
+    __slots__ = (
+        "complete", "words", "bars", "trusted", "n_bands", "flags",
+        "band_bits", "_ratio_memo",
+    )
 
     def __init__(self, complete, words, bars, trusted, n_bands, flags, band_bits):
         self.complete = complete
@@ -449,6 +452,7 @@ class DeviceScales:
         self.n_bands = n_bands
         self.flags = flags
         self.band_bits = band_bits
+        self._ratio_memo = ()  # unset sentinel (None is a valid ratio)
 
     @property
     def ok(self) -> bool:
@@ -500,7 +504,19 @@ def decode_records(rec_i16: np.ndarray) -> DeviceScales:
 
 def ratio_from_records(dev: DeviceScales) -> "float | None":
     """meters/px from the TRUSTED decoded records, mirroring _parse_scales +
-    calc_meters_to_px_ratio (<=3 scales, dedup by value, average)."""
+    calc_meters_to_px_ratio (<=3 scales, dedup by value, average).
+
+    Selection order: the first <=3 trusted scales in band-major record-slot
+    order (top band first, left-to-right within a band). The host engine
+    path instead takes OCR-result emission order over all words; with more
+    than 3 distinct "<N>m" labels on screen (never the case for the real
+    overlay, which shows <=3) or a partially-trusted frame the averaged
+    subset can differ from the host fallback's. Corpus-validated equivalent
+    for real frames. Memoized per record object (decoding is per-frame;
+    multiple consumers — serve gate, job payload, sync path — share one
+    computation)."""
+    if dev._ratio_memo != ():
+        return dev._ratio_memo[0]
     scales = []
     seen = set()
     for word, bar, trust in zip(dev.words, dev.bars, dev.trusted):
@@ -527,6 +543,6 @@ def ratio_from_records(dev: DeviceScales) -> "float | None":
         width = right - left
         if width >= MIN_SCALE_WIDTH:
             found.append(meters / width)
-    if not found:
-        return None
-    return sum(found) / len(found)
+    ratio = sum(found) / len(found) if found else None
+    dev._ratio_memo = (ratio,)
+    return ratio

@@ -264,7 +264,9 @@ class BatchPipeline:
             self.stats["full_batches"] += 1
             self.stats["h2d_bytes"] += rois.size
         self._resident = out.pop("resident")
-        self._mirror = rois[n - 1]
+        # Copy: a row view would keep the whole packed batch (~80 MB at 4K,
+        # B=8) alive in host RAM until the next submit replaces it.
+        self._mirror = rois[n - 1].copy()
         self._uncollected += 1
         return {"out": out, "n": n, "inline": inline, "with_ocr": with_ocr}
 

@@ -380,28 +380,37 @@ class TpuBackend:
             return None, None
         return ch, cw
 
-    def _scales_band_size(self) -> Optional[int]:
-        """Static OCR row-band height for the next dispatch (None = full)."""
+    def _scales_band_size(self) -> tuple[Optional[int], bool]:
+        """Pure query: (static OCR row-band height for the next dispatch or
+        None for full, ladder_maxed). No state is mutated here — the
+        probation ladder step happens once per dispatch in
+        _step_band_probation (a second caller — debug, logging, a batch
+        path — must not advance the hysteresis)."""
         if not self.scales_image_derived:
-            return None  # canned engines: bboxes may point anywhere
+            return None, False  # canned engines: bboxes may point anywhere
         if self._debug:
-            return None  # debug views want the true full-height binarize
+            return None, False  # debug views want the true full-height binarize
         g = self.geom
         brq_bits = g.brq_h * ((g.brq_w + 7) // 8)
         if brq_bits <= 4 * 1024:  # tiny test frames: banding can't pay
-            return None
+            return None, False
         ladder = _dim_ladder(g.brq_h)
         band = ladder[min(self._band_rung, len(ladder) - 1)]
         if band >= g.brq_h:
-            # Ladder maxed out: periodically re-probe a smaller band so one
-            # pathological frame can't disable banding for the session.
-            self._band_probation += 1
-            if self._band_probation >= _SHRINK_AFTER:
-                self._band_probation = 0
-                self._band_rung = len(ladder) - 2
-            return None
-        self._band_probation = 0
-        return band
+            return None, True
+        return band, False
+
+    def _step_band_probation(self, maxed: bool) -> None:
+        """Dispatch-time ladder bookkeeping: while the ladder is maxed out,
+        periodically re-probe a smaller band so one pathological frame can't
+        disable banding for the whole session."""
+        if not maxed:
+            self._band_probation = 0
+            return
+        self._band_probation += 1
+        if self._band_probation >= _SHRINK_AFTER:
+            self._band_probation = 0
+            self._band_rung = len(_dim_ladder(self.geom.brq_h)) - 2
 
     @staticmethod
     def _rung_for(ladder: list[int], need: int) -> int:
@@ -457,7 +466,10 @@ class TpuBackend:
             inline = "binary"
         else:
             inline = "gray"
-        band = self._scales_band_size() if inline in ("binary", "gray") else None
+        band = None
+        if inline in ("binary", "gray"):
+            band, maxed = self._scales_band_size()
+            self._step_band_probation(maxed)
         quiet_pallas = ops_pipeline.quiet_pallas_mode()
         self._dispatch_flags = (
             self.scales_enabled,
@@ -814,10 +826,21 @@ class TpuBackend:
             "ocr_bits_inline" in host or "ocr_img_inline" in host
         )
         records = host.get("scales_records")
-        records_serve = records is not None and (
-            records.complete
-            or ops_scales_device.ratio_from_records(records) is not None
+        records_ratio = (
+            ops_scales_device.ratio_from_records(records)
+            if records is not None
+            else None
         )
+        records_serve = records is not None and (
+            records.complete or records_ratio is not None
+        )
+        # Telemetry parity with the sync path (device_scales): the async
+        # consumer never calls device_scales, so count here.
+        if records is not None:
+            if records_serve:
+                stats["device_scales_frames"] += 1
+            else:
+                stats["device_scales_fallbacks"] += 1
         needs_fallback = band == "miss" or not (
             textless or has_inline or records_serve
         )
@@ -842,10 +865,7 @@ class TpuBackend:
         if records_serve:
             # Fully-device read: the async step consumes it inline (no
             # worker, no fetch) — ratio=None here is a clean "no scales".
-            job["device"] = (
-                records.words,
-                ops_scales_device.ratio_from_records(records),
-            )
+            job["device"] = (records.words, records_ratio)
         return job
 
     # -- markers branch ---------------------------------------------------------

@@ -36,6 +36,21 @@ WWW = pathlib.Path(__file__).parent / "www"
 SEND_TIMEOUT = 10.0
 
 
+class _Client:
+    """Per-connection send queue (websockets forbids concurrent send()).
+    `dead` flips exactly once, at the overflow/timeout decision point; a
+    dead client is removed from the broadcast set immediately, so no event
+    broadcast after the overflow can reach it (the reference's drop is
+    equally exact, ws.rs:92-99)."""
+
+    __slots__ = ("queue", "websocket", "dead")
+
+    def __init__(self, websocket) -> None:
+        self.queue: asyncio.Queue = asyncio.Queue(maxsize=256)
+        self.websocket = websocket
+        self.dead = False
+
+
 class EventData:
     """Latest-state snapshot for new clients (web/src/lib.rs:216-225)."""
 
@@ -161,17 +176,34 @@ class WebServer:
         loop = self._loop
         if loop is None:
             return
-        loop.call_soon_threadsafe(self._broadcast_on_loop, data)
+        try:
+            loop.call_soon_threadsafe(self._broadcast_on_loop, data)
+        except RuntimeError:
+            pass  # server stopped between the check and the call
 
     def _broadcast_on_loop(self, data: bytes) -> None:
-        # Per-client queues: websockets forbids concurrent send() calls, and a
-        # slow client must not block the rest (10 s policy, ws.rs:92-99). A
-        # client whose queue overflows is treated as dead.
-        for q in list(self._clients):
+        # A slow client must not block the rest (10 s policy, ws.rs:92-99).
+        # A client whose queue overflows is dropped HERE — removed from the
+        # broadcast set and its socket closed — so the drop is exact: no
+        # event after the overflow is ever delivered to it.
+        for c in list(self._clients):
             try:
-                q.put_nowait(data)
+                c.queue.put_nowait(data)
             except asyncio.QueueFull:
-                q.put_nowait_dropped = True  # type: ignore[attr-defined]
+                c.dead = True
+                self._clients.discard(c)
+                log.warning(
+                    "dropping client %s: send queue overflow",
+                    c.websocket.remote_address,
+                )
+                asyncio.ensure_future(self._close_client(c))
+
+    @staticmethod
+    async def _close_client(c: "_Client") -> None:
+        try:
+            await c.websocket.close()
+        except Exception:
+            pass
 
     async def _ws_handler(self, websocket) -> None:
         log.info("WebSocket connection opened with %s", websocket.remote_address)
@@ -179,8 +211,8 @@ class WebServer:
         # broadcast during the replay awaits land in its queue instead of
         # being lost (they may duplicate snapshot state; all state events
         # are idempotent).
-        queue: asyncio.Queue = asyncio.Queue(maxsize=256)
-        self._clients.add(queue)
+        client = _Client(websocket)
+        self._clients.add(client)
         for data in self._event_data.snapshot():
             await websocket.send(data)
 
@@ -191,19 +223,22 @@ class WebServer:
 
         async def sender():
             # A slow/stuck client must be disconnected (10 s policy,
-            # ws.rs:92-99): on timeout or queue overflow, drop it and close
-            # the socket so the reader loop below terminates too.
+            # ws.rs:92-99): on send timeout, drop it and close the socket so
+            # the reader loop below terminates too. Queue overflow is
+            # handled at broadcast time (_broadcast_on_loop); the dead check
+            # here just stops draining once that decision landed.
             try:
-                while True:
-                    data = await queue.get()
-                    if getattr(queue, "put_nowait_dropped", False):
-                        raise ConnectionError("client send queue overflow")
+                while not client.dead:
+                    data = await client.queue.get()
+                    if client.dead:
+                        break
                     await asyncio.wait_for(websocket.send(data), timeout=SEND_TIMEOUT)
             except asyncio.CancelledError:
                 raise
             except Exception as e:
                 log.warning("dropping client %s: %s", websocket.remote_address, e)
-                self._clients.discard(queue)
+                client.dead = True
+                self._clients.discard(client)
                 try:
                     await websocket.close()
                 except Exception:
@@ -224,7 +259,7 @@ class WebServer:
         except websockets.ConnectionClosed:
             pass
         finally:
-            self._clients.discard(queue)
+            self._clients.discard(client)
             sender_task.cancel()
             log.info("WebSocket connection closed with %s", websocket.remote_address)
 

@@ -5,6 +5,8 @@ from smh_tpu import testing
 from smh_tpu.ocr import FakeOcrEngine, OcrResult
 from smh_tpu.vision.batch import BatchPipeline
 
+pytestmark = pytest.mark.slow  # jit-compile heavy (see pyproject markers)
+
 
 def test_batch_matches_single():
     frames = [

@@ -16,6 +16,8 @@ import pytest
 from smh_tpu import consts as C, testing
 from smh_tpu.vision.tpu_backend import TpuBackend
 
+pytestmark = pytest.mark.slow  # jit-compile heavy (see pyproject markers)
+
 W, H = 1920, 1080
 
 

@@ -18,6 +18,8 @@ from smh_tpu.squadex.capture import Frame
 from smh_tpu.vision.pipeline import VisionState
 from smh_tpu.vision.tpu_backend import TpuBackend
 
+pytestmark = pytest.mark.slow  # jit-compile heavy (see pyproject markers)
+
 W, H = 1920, 1080  # map mask > 16 KiB: windowing active
 
 

@@ -6,6 +6,10 @@ from smh_tpu.settings import Settings
 from smh_tpu.squadex.capture import Frame
 from smh_tpu.vision.pipeline import VisionState
 
+import pytest
+
+pytestmark = pytest.mark.slow  # jit-compile heavy (see pyproject markers)
+
 
 def test_minimap_every_caches_bounds():
     settings = Settings(path=None)

@@ -7,6 +7,8 @@ import pytest
 from smh_tpu import consts as C
 from smh_tpu.parallel import spmd
 
+pytestmark = pytest.mark.slow  # jit-compile heavy (see pyproject markers)
+
 
 @pytest.fixture(scope="module")
 def mesh8():

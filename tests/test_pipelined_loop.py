@@ -11,6 +11,8 @@ from smh_tpu.settings import Settings
 from smh_tpu.squadex.capture import CaptureThread, Frame
 from smh_tpu.vision.pipeline import VisionLoop, VisionState
 
+pytestmark = pytest.mark.slow  # jit-compile heavy (see pyproject markers)
+
 
 class Cycle:
     def __init__(self, frames):

@@ -15,6 +15,8 @@ from smh_tpu.vision.pipeline import _parse_scales
 
 import jax
 
+pytestmark = pytest.mark.slow  # jit-compile heavy (see pyproject markers)
+
 
 def _device_read(ocr_img: np.ndarray, scales_img: np.ndarray) -> sd.DeviceScales:
     text = jnp.asarray(ocr_img < sd.OCR_BINARY_THRESHOLD)

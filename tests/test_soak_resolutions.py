@@ -9,9 +9,12 @@ from smh_tpu.settings import Settings
 from smh_tpu.squadex.capture import Frame, load_frame_bgra
 from smh_tpu.vision.pipeline import VisionState
 
-pytestmark = pytest.mark.skipif(
-    not reference_samples_available(), reason="reference samples not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not reference_samples_available(), reason="reference samples not mounted"
+    ),
+    pytest.mark.slow,  # jit-compile heavy (see pyproject markers)
+]
 
 # One sample per distinct resolution in the corpus.
 SAMPLES = [

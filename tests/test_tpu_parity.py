@@ -16,6 +16,8 @@ from smh_tpu.vision.tpu_backend import TpuBackend
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # jit-compile heavy (see pyproject markers)
+
 
 def rand_rgb(shape, seed=0):
     return np.random.default_rng(seed).integers(0, 256, size=shape, dtype=np.uint8)
