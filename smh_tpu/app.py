@@ -62,6 +62,13 @@ class App:
         cache_dir: str = "heightmaps",
     ) -> None:
         self.settings = settings or Settings()
+        # Log observability surface (reference: in-app log window fed by a
+        # channel with repeat-collapse + auto-open-on-error,
+        # src/ui/logs.rs:22-56,195-259): a process-wide ring buffer feeds
+        # /api/logs; the web client polls it and auto-opens on new errors.
+        from .utils import ringlog
+
+        self.ringlog = ringlog.install()
         self.ocr_engine = ocr_engine if ocr_engine is not None else tesseract.create_default_engine()
         # --debug-web collects per-frame OCR boxes + scale overlays for the
         # client debug surface (the reference's debug UI recomputes them the
@@ -278,6 +285,65 @@ class App:
         if path == "/api/fit":
             self.set_fit_to_minimap(query.get("on", "0") in ("1", "true"))
             return 200, {"ok": True, "fit_to_minimap": self.fit_to_minimap}
+        if path == "/api/logs":
+            # Ring-buffer log surface (src/ui/logs.rs:22-56): entries past
+            # ?since= (a seq cursor), plus the running ERROR+ count so the
+            # client can auto-open the panel on new errors (logs.rs:195-259).
+            try:
+                since = int(query.get("since", "0"))
+            except ValueError:
+                since = 0
+            entries = [
+                {
+                    "seq": e.seq,
+                    "ts": round(e.ts, 3),
+                    "level": logging.getLevelName(e.level),
+                    "message": e.message,
+                    "count": e.count,
+                }
+                for e in self.ringlog.entries(since=since)
+            ]
+            return 200, {
+                "entries": entries,
+                "seq": self.ringlog.seq,
+                "errors": self.ringlog.errors,
+            }
+        if path == "/api/settings":
+            # Runtime settings surface (reference settings UI,
+            # src/settings.rs:30-142): read everything; paused rides along
+            # (non-persisted, settings.rs:5).
+            return 200, {
+                "hardware_acceleration": self.settings.hardware_acceleration(),
+                "detect_markers": self.settings.detect_markers(),
+                "grayscale_map": self.settings.grayscale_map(),
+                "paused": self.settings.paused(),
+                "squad_dir": self.settings.squad_dir(),
+                "squad_pak_aes": self.settings.squad_pak_aes(),
+            }
+        if path == "/api/settings/set":
+            key = query.get("key")
+            value = query.get("value")
+            if key is None or value is None:
+                return 400, {"error": "need ?key= and ?value="}
+            bool_keys = ("hardware_acceleration", "detect_markers", "grayscale_map")
+            if key == "paused":
+                # Not persisted; the vision loop re-checks it per frame and
+                # parks (reference PAUSED atomic, settings.rs:5).
+                self.settings.set_paused(value in ("1", "true", "on"))
+                self.loop.wake()
+            elif key in bool_keys:
+                # Saved on set like every reference setting; the vision loop
+                # reads these per frame, so hardware_acceleration flips the
+                # backend live (BackendDelegate re-checks each frame) and
+                # grayscale_map re-dispatches with the new ui plane.
+                self.settings.set(key, value in ("1", "true", "on"))
+                self.loop.wake()
+            elif key in ("squad_dir", "squad_pak_aes"):
+                self.settings.set(key, value or None)
+            else:
+                return 400, {"error": f"unknown setting {key}"}
+            _, obj = self._api("/api/settings", {})
+            return 200, obj
         if path == "/api/debug-view":
             # The reference's "Computer Vision Outputs" debug window
             # (vision-common/src/debug.rs:33-52, backends' get_debug_view):
@@ -428,9 +494,13 @@ def main(argv=None) -> int:
                     help="align the heightmap by fitting it to the detected minimap bounds")
     args = ap.parse_args(argv)
 
-    handlers = [logging.StreamHandler()]
+    handlers: list[logging.Handler] = [logging.StreamHandler()]
     if args.dumplogs:
-        handlers.append(logging.FileHandler("smh.log"))
+        # File sink with in-place "(xN)" repeat collapsing, like the
+        # reference's --dumplogs logger (src/ui/logs.rs:58-144).
+        from .utils.ringlog import CollapsingFileHandler
+
+        handlers.append(CollapsingFileHandler("smh.log"))
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s",
         handlers=handlers,

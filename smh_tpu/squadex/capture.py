@@ -344,6 +344,13 @@ class CaptureThread:
         self._consumed.set()
         return frame
 
+    def resend(self) -> None:
+        """Invalidate the crc dedup so the next grab republishes the frame
+        even when the scene is static — used when a runtime setting changes
+        what the pipeline renders (grayscale_map / backend flips)."""
+        self._last_crc = 0
+        self._consumed.set()
+
     def _run(self) -> None:
         while not self._shutdown.is_set():
             frame = self._source.grab()

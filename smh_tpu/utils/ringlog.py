@@ -21,6 +21,7 @@ class LogEntry:
     level: int
     message: str
     count: int = 1  # collapsed repeats ("(xN)")
+    seq: int = 0  # monotonically increasing id (client poll cursor)
 
 
 class RingLogHandler(logging.Handler):
@@ -28,6 +29,9 @@ class RingLogHandler(logging.Handler):
         super().__init__()
         self._entries: collections.deque[LogEntry] = collections.deque(maxlen=capacity)
         self._lock2 = threading.Lock()
+        self._seq = 0  # bumped on every emit (repeats bump too: poll cursors
+        # must see the "(xN)" count grow)
+        self._errors = 0  # total records at ERROR+ (auto-open-on-error hook)
 
     def emit(self, record: logging.LogRecord) -> None:
         try:
@@ -35,15 +39,33 @@ class RingLogHandler(logging.Handler):
         except Exception:
             return
         with self._lock2:
+            self._seq += 1
+            if record.levelno >= logging.ERROR:
+                self._errors += 1
             if self._entries and self._entries[-1].message == msg and self._entries[-1].level == record.levelno:
                 self._entries[-1].count += 1
                 self._entries[-1].ts = time.time()
+                self._entries[-1].seq = self._seq
             else:
-                self._entries.append(LogEntry(ts=time.time(), level=record.levelno, message=msg))
+                self._entries.append(
+                    LogEntry(ts=time.time(), level=record.levelno, message=msg, seq=self._seq)
+                )
 
-    def entries(self) -> list[LogEntry]:
+    def entries(self, since: int = 0) -> list[LogEntry]:
+        """Entries whose seq is past `since` (0 = everything retained)."""
         with self._lock2:
-            return list(self._entries)
+            return [e for e in self._entries if e.seq > since]
+
+    @property
+    def seq(self) -> int:
+        with self._lock2:
+            return self._seq
+
+    @property
+    def errors(self) -> int:
+        """Total ERROR+ records ever seen (clients auto-open on increase)."""
+        with self._lock2:
+            return self._errors
 
     def formatted(self) -> list[str]:
         out = []
@@ -51,6 +73,52 @@ class RingLogHandler(logging.Handler):
             suffix = f" (x{e.count})" if e.count > 1 else ""
             out.append(f"{logging.getLevelName(e.level)} {e.message}{suffix}")
         return out
+
+
+class CollapsingFileHandler(logging.Handler):
+    """File sink with in-place "(xN)" repeat collapsing.
+
+    Counterpart of the reference's --dumplogs logger, which seeks back over
+    the previous line and rewrites it with an incremented repeat count
+    instead of appending duplicates (/root/reference/src/ui/logs.rs:58-144).
+    """
+
+    def __init__(self, path: str, mode: str = "w") -> None:
+        super().__init__()
+        self._stream = open(path, mode)
+        self._lock2 = threading.Lock()
+        self._last_msg: Optional[str] = None
+        self._last_level: Optional[int] = None
+        self._last_pos = self._stream.tell()  # byte offset of the last line
+        self._count = 1
+
+    def emit(self, record: logging.LogRecord) -> None:
+        try:
+            msg = self.format(record)
+        except Exception:
+            return
+        with self._lock2:
+            if msg == self._last_msg and record.levelno == self._last_level:
+                # Seek back over the previous line and rewrite it with the
+                # bumped count (logs.rs:93-144).
+                self._count += 1
+                self._stream.seek(self._last_pos)
+                self._stream.truncate()
+                self._stream.write(f"{msg} (x{self._count})\n")
+            else:
+                self._last_pos = self._stream.tell()
+                self._last_msg = msg
+                self._last_level = record.levelno
+                self._count = 1
+                self._stream.write(msg + "\n")
+            self._stream.flush()
+
+    def close(self) -> None:
+        with self._lock2:
+            try:
+                self._stream.close()
+            finally:
+                super().close()
 
 
 _default: Optional[RingLogHandler] = None

@@ -518,6 +518,14 @@ class VisionLoop:
             return Frame(self.fake_input, None)
         return self.capture.fresh_frame()
 
+    def wake(self) -> None:
+        """Re-deliver the current frame even if unchanged: a runtime
+        settings flip (grayscale/backend/pause) must take effect on a
+        static scene without waiting for new pixels."""
+        resend = getattr(self.capture, "resend", None)
+        if resend is not None:
+            resend()
+
     def _step(self, frame: Frame, submitted: Optional[dict] = None) -> None:
         debug = DebugBox()
         try:

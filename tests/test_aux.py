@@ -44,6 +44,54 @@ def test_ring_log_collapses_repeats():
         logger.removeHandler(h)
 
 
+def test_ring_log_seq_and_errors():
+    h = RingLogHandler(capacity=10)
+    h.setFormatter(logging.Formatter("%(message)s"))
+    logger = logging.getLogger("test.ring3")
+    logger.addHandler(h)
+    logger.setLevel(logging.INFO)
+    try:
+        logger.info("a")
+        s1 = h.seq
+        logger.info("a")  # repeat bumps seq too (poll cursors see the count)
+        assert h.seq == s1 + 1
+        assert h.entries(since=s1)[0].count == 2
+        assert h.errors == 0
+        logger.error("boom")
+        assert h.errors == 1
+        assert h.entries(since=h.seq) == []
+    finally:
+        logger.removeHandler(h)
+
+
+def test_collapsing_file_handler(tmp_path):
+    """--dumplogs file sink rewrites '(xN)' repeat counts in place, like the
+    reference (/root/reference/src/ui/logs.rs:58-144)."""
+    from smh_tpu.utils.ringlog import CollapsingFileHandler
+
+    path = tmp_path / "smh.log"
+    h = CollapsingFileHandler(str(path))
+    h.setFormatter(logging.Formatter("%(levelname)s %(message)s"))
+    logger = logging.getLogger("test.dump")
+    logger.addHandler(h)
+    logger.setLevel(logging.INFO)
+    try:
+        for _ in range(3):
+            logger.info("repeat me")
+        logger.warning("then this")
+        logger.warning("then this")
+        logger.info("tail")
+        lines = path.read_text().splitlines()
+        assert lines == [
+            "INFO repeat me (x3)",
+            "WARNING then this (x2)",
+            "INFO tail",
+        ]
+    finally:
+        logger.removeHandler(h)
+        h.close()
+
+
 def test_ring_log_capacity():
     h = RingLogHandler(capacity=3)
     h.setFormatter(logging.Formatter("%(message)s"))

@@ -216,8 +216,71 @@ def test_client_page_structure():
         "buildHmImage",           # false-color heightmap preview
         "sendInspect",            # pixel inspector
         "hmPlacement",            # shared heightmap projection math
+        "renderLogPanel",         # log surface (round 3)
+        "renderSetPanel",         # runtime settings panel (round 3)
+        "/api/logs",
+        "/api/settings/set",
     ):
         assert needle in script, f"missing client feature: {needle}"
+
+
+def test_logs_endpoint(demo_app):
+    """/api/logs: ring-buffer surface with (xN) collapse + error counter
+    (reference log window, src/ui/logs.rs:22-56,195-259)."""
+    import logging
+
+    log = logging.getLogger("smh_tpu.test.logs")
+    base = get_json("http://127.0.0.1:18773/api/logs")
+    log.warning("web-logs-test repeated line")
+    log.warning("web-logs-test repeated line")
+    log.error("web-logs-test error line")
+    out = get_json("http://127.0.0.1:18773/api/logs")
+    assert out["errors"] == base["errors"] + 1
+    assert out["seq"] >= base["seq"] + 3
+    msgs = {e["message"]: e for e in out["entries"]}
+    rep = next(v for k, v in msgs.items() if "repeated line" in k)
+    assert rep["count"] == 2 and rep["level"] == "WARNING"
+    err = next(v for k, v in msgs.items() if "error line" in k)
+    assert err["level"] == "ERROR"
+    # cursor: only entries past `since` come back
+    inc = get_json(f"http://127.0.0.1:18773/api/logs?since={out['seq']}")
+    assert inc["entries"] == []
+
+
+def test_settings_endpoint_live_backend_swap(demo_app):
+    """/api/settings GET/set: flipping hardware_acceleration live swaps the
+    backend mid-session (reference settings UI, src/settings.rs:30-142 +
+    hardware re-check per frame, src/vision/hardware.rs:14-45)."""
+    st = get_json("http://127.0.0.1:18773/api/settings")
+    assert st["hardware_acceleration"] is True
+    assert st["paused"] is False
+
+    # unknown key -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get_json("http://127.0.0.1:18773/api/settings/set?key=nope&value=1")
+    assert e.value.code == 400
+
+    out = get_json(
+        "http://127.0.0.1:18773/api/settings/set?key=hardware_acceleration&value=0"
+    )
+    assert out["hardware_acceleration"] is False
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        backend = demo_app.state.delegate.backend
+        if backend is not None and backend.name == "numpy":
+            break
+        time.sleep(0.2)
+    backend = demo_app.state.delegate.backend
+    assert backend is not None and backend.name == "numpy", "backend never swapped"
+
+    # paused is session-only and reflected in the payload
+    out = get_json("http://127.0.0.1:18773/api/settings/set?key=paused&value=1")
+    assert out["paused"] is True
+    assert demo_app.settings.paused() is True
+    get_json("http://127.0.0.1:18773/api/settings/set?key=paused&value=0")
+
+    # restore for other tests sharing the fixture
+    get_json("http://127.0.0.1:18773/api/settings/set?key=hardware_acceleration&value=1")
 
 
 def test_debug_view_endpoint(demo_app):
