@@ -506,6 +506,17 @@ def main(argv=None) -> int:
         handlers=handlers,
     )
 
+    if not args.paks:
+        # Reference behaviour: discover the Steam Squad install + workshop
+        # paks automatically when no dir is configured
+        # (src/ui/heightmaps.rs:26-64, heightmap-ripper lib.rs:56-59).
+        from .heightmaps import ripper as _ripper
+
+        discovered = _ripper.discover_paks()
+        if discovered:
+            log.info("auto-discovered %d pak dir(s): %s", len(discovered), discovered)
+            args.paks = discovered
+
     if args.list_maps or args.rip:
         from .heightmaps import browser, ripper
 

@@ -129,14 +129,78 @@ def list_maps(
     return layers
 
 
-def find_squad_dir() -> Optional[pathlib.Path]:
-    """Best-effort Steam install discovery (heightmap-ripper lib.rs:56-59)."""
-    candidates = [
-        pathlib.Path.home() / ".steam/steam/steamapps/common/Squad",
-        pathlib.Path.home() / ".local/share/Steam/steamapps/common/Squad",
-        pathlib.Path("C:/Program Files (x86)/Steam/steamapps/common/Squad"),
+SQUAD_APP_ID = 393380  # heightmap-ripper lib.rs:56
+
+
+def _steam_roots() -> list[pathlib.Path]:
+    return [
+        pathlib.Path.home() / ".steam/steam",
+        pathlib.Path.home() / ".local/share/Steam",
+        pathlib.Path("C:/Program Files (x86)/Steam"),
     ]
-    for c in candidates:
-        if c.is_dir():
-            return c
+
+
+def _library_dirs(root: pathlib.Path) -> list[pathlib.Path]:
+    """Steam library roots: the install root plus every ``"path"`` entry in
+    steamapps/libraryfolders.vdf (what steamlocate does for lib.rs:57)."""
+    libs = [root]
+    vdf = root / "steamapps" / "libraryfolders.vdf"
+    if vdf.is_file():
+        try:
+            for line in vdf.read_text(errors="replace").splitlines():
+                parts = line.strip().split('"')
+                # VDF lines look like:  "path"  "/mnt/games/SteamLibrary"
+                if len(parts) >= 4 and parts[1] == "path":
+                    p = pathlib.Path(parts[3].replace("\\\\", "\\"))
+                    if p not in libs:
+                        libs.append(p)
+        except OSError:
+            pass
+    return libs
+
+
+def find_squad_dir(steam_roots: Optional[list[pathlib.Path]] = None) -> Optional[pathlib.Path]:
+    """Locate the Squad install dir (app 393380) across Steam libraries.
+
+    Python analog of steamlocate in heightmap-ripper lib.rs:56-59: probe the
+    default Steam roots, follow extra libraries from libraryfolders.vdf, and
+    require the appmanifest (or the game dir itself) to exist.
+    """
+    for root in steam_roots if steam_roots is not None else _steam_roots():
+        if not root.is_dir():
+            continue
+        for lib in _library_dirs(root):
+            game = lib / "steamapps" / "common" / "Squad"
+            if game.is_dir():
+                return game
     return None
+
+
+def find_workshop_paks(squad_dir: pathlib.Path) -> list[str]:
+    """Workshop pak dirs for app 393380 (src/ui/heightmaps.rs:26-64).
+
+    squad_dir is <lib>/steamapps/common/Squad; the workshop tree lives at
+    <lib>/steamapps/workshop/content/393380. Collect the unique parent dirs
+    of *.pak files whose parent is named WindowsNoEditor, sorted (the
+    reference uses a BTreeSet).
+    """
+    workshop = squad_dir.parent.parent / "workshop" / "content" / str(SQUAD_APP_ID)
+    if not workshop.is_dir():
+        return []
+    dirs: set[str] = set()
+    for pak in workshop.rglob("*.pak"):
+        parent = pak.parent
+        if parent.name == "WindowsNoEditor":
+            dirs.add(str(parent))
+    return sorted(dirs)
+
+
+def discover_paks(steam_roots: Optional[list[pathlib.Path]] = None) -> list[str]:
+    """Auto-discover pak dirs like the reference UI does when no explicit dir
+    is set (src/ui/heightmaps.rs LoadLayersOp::load_layers): workshop paks
+    first, then the main game paks dir. Empty list when Squad isn't found.
+    """
+    squad = find_squad_dir(steam_roots)
+    if squad is None:
+        return []
+    return find_workshop_paks(squad) + [str(squad / "SquadGame" / "Content" / "Paks")]

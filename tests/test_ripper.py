@@ -54,3 +54,49 @@ def test_smhhm_cache_roundtrip(tmp_path):
     hm2 = hms.load_smhhm(path)
     assert hm2 is not None and (hm2.data == hm.data).all()
     assert hm2.bounds == hm.bounds and hm2.scale == hm.scale
+
+
+def _mk_steam_tree(tmp_path):
+    """Build a fake Steam install: main library + one extra library from
+    libraryfolders.vdf, Squad in the extra library, with workshop paks."""
+    root = tmp_path / "Steam"
+    (root / "steamapps").mkdir(parents=True)
+    lib2 = tmp_path / "SteamLibrary"
+    steamapps = lib2 / "steamapps"
+    squad = steamapps / "common" / "Squad"
+    (squad / "SquadGame" / "Content" / "Paks").mkdir(parents=True)
+    (root / "steamapps" / "libraryfolders.vdf").write_text(
+        '"libraryfolders"\n{\n\t"0"\n\t{\n\t\t"path"\t\t"%s"\n\t}\n}\n' % lib2
+    )
+    ws = steamapps / "workshop" / "content" / str(ripper.SQUAD_APP_ID)
+    for mod, ok in [("111", True), ("222", True), ("333", False)]:
+        d = ws / mod / ("WindowsNoEditor" if ok else "LinuxNoEditor")
+        d.mkdir(parents=True)
+        (d / "mod.pak").write_bytes(b"\0")
+    # a stray non-pak file in a WindowsNoEditor dir must not add a dir
+    (ws / "444" / "WindowsNoEditor").mkdir(parents=True)
+    (ws / "444" / "WindowsNoEditor" / "readme.txt").write_text("x")
+    return root, squad, ws
+
+
+def test_find_squad_dir_via_libraryfolders(tmp_path):
+    root, squad, _ = _mk_steam_tree(tmp_path)
+    assert ripper.find_squad_dir([root]) == squad
+    assert ripper.find_squad_dir([tmp_path / "nope"]) is None
+
+
+def test_find_workshop_paks(tmp_path):
+    _, squad, ws = _mk_steam_tree(tmp_path)
+    paks = ripper.find_workshop_paks(squad)
+    assert paks == sorted(
+        [str(ws / "111" / "WindowsNoEditor"), str(ws / "222" / "WindowsNoEditor")]
+    )
+
+
+def test_discover_paks(tmp_path):
+    root, squad, _ = _mk_steam_tree(tmp_path)
+    paks = ripper.discover_paks([root])
+    # workshop paks first, then the main game paks dir (heightmaps.rs load_layers)
+    assert paks[-1] == str(squad / "SquadGame" / "Content" / "Paks")
+    assert len(paks) == 3
+    assert ripper.discover_paks([tmp_path / "nope"]) == []
