@@ -45,8 +45,33 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import numpy as np  # noqa: E402
 
 
-def build_state(scales_async: bool = False):
+def build_engine(ocr: str):
+    if ocr == "tesseract":
+        # The Tesseract ctypes binding, against real libtesseract when a
+        # traineddata exists, else the in-repo smhtess C library + vendored
+        # SMHT model. binary_ok=False => this measures the gray row-band
+        # transport (the non-device engine path).
+        from smh_tpu.ocr import tesseract as T
+
+        if not T.available():
+            import tempfile
+
+            from smh_tpu.native import tessmock
+            from smh_tpu.ocr.tessdata_gen import ensure_default
+
+            so = tessmock.lib_path()
+            assert so is not None, "no toolchain for smhtess"
+            os.environ["SMH_TESS_LIB"] = str(so)
+            tessdata = os.path.join(tempfile.gettempdir(), "smh_tessdata")
+            ensure_default(tessdata)
+            return T.TesseractEngine(tessdata=tessdata)
+        return T.TesseractEngine()
     from smh_tpu.ocr.smhocr import SmhOcrEngine
+
+    return SmhOcrEngine()
+
+
+def build_state(scales_async: bool = False, ocr: str = "smhocr"):
     from smh_tpu.settings import Settings
     from smh_tpu.vision.pipeline import VisionState
 
@@ -56,7 +81,7 @@ def build_state(scales_async: bool = False):
     # rendered scale text (round 1 used a canned engine — less host work per
     # frame than this). Keeps the full glyph pipeline + band transport in
     # the measured numbers without requiring traineddata in the image.
-    return VisionState(settings=settings, ocr_engine=SmhOcrEngine(), scales_async=scales_async)
+    return VisionState(settings=settings, ocr_engine=build_engine(ocr), scales_async=scales_async)
 
 
 def make_bench_frames(w: int, h: int, n: int = 4) -> list[np.ndarray]:
@@ -270,6 +295,8 @@ def main() -> None:
         "--mode", default="full", choices=["full", "latency", "batch", "stream"]
     )
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--ocr", default="smhocr", choices=["smhocr", "tesseract"],
+                    help="tesseract = the ctypes binding (gray band transport)")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="write a jax.profiler trace of the measured section "
                          "(view with tensorboard / xprof)")
@@ -304,7 +331,7 @@ def main() -> None:
     from smh_tpu.ops import pipeline as ops_pipeline
     from smh_tpu.squadex.capture import Frame
 
-    state = build_state()
+    state = build_state(ocr=args.ocr)
     frames = [Frame(f, dpi=96) for f in make_bench_frames(w, h)]
 
     # Warmup: compile all buckets (fused pass at the rungs the adaptive
@@ -364,7 +391,7 @@ def main() -> None:
         fps_pipelined = None
         batched_ms = None
     else:
-        astate = build_state(scales_async=True)
+        astate = build_state(scales_async=True, ocr=args.ocr)
         for i in range(2):
             astate.process(frames[i])
         amed, _, _ = measure_process_p50(astate, frames, iters, max(1, reps - 1))

@@ -44,6 +44,14 @@ _TESSDATA_CANDIDATES = (
 
 
 def _find_lib() -> Optional[ctypes.CDLL]:
+    # Explicit override first: tests (and traineddata-less hosts) point this
+    # at native/libsmhtess.so, the in-repo C implementation of this API.
+    override = os.environ.get("SMH_TESS_LIB")
+    if override:
+        try:
+            return ctypes.CDLL(override)
+        except OSError:
+            return None
     for name in _LIB_CANDIDATES:
         try:
             return ctypes.CDLL(name)
