@@ -143,15 +143,33 @@ def scan_budget(brq_w: int) -> int:
 
 def _runs(mask: jnp.ndarray, max_runs: int):
     """First `max_runs` True-runs of a 1D bool mask: (starts, ends_exclusive,
-    count). Padded slots have start == n. Sort-based compaction — argmax/
-    nonzero lower poorly on this TPU, sort of a [n] i32 vector does not."""
+    count). Padded slots have start == n.
+
+    Sort-free compaction: rank each run boundary by a prefix sum, then gather
+    boundary positions into their slots with a one-hot matmul — [max_runs, n]
+    @ [n] rides the MXU in one pass. Round 2 used two jnp.sort's per call
+    (argmax/nonzero lower poorly on this TPU); the bitonic sort network over
+    [n] i32 was ~40% of the device scales read at 4K, the matmul form is
+    O(n * max_runs) trivially-fused work."""
     n = mask.shape[0]
     prev = jnp.concatenate([jnp.zeros((1,), bool), mask[:-1]])
     nxt = jnp.concatenate([mask[1:], jnp.zeros((1,), bool)])
+    is_start = mask & ~prev
+    is_end = mask & ~nxt
     iota = jnp.arange(n, dtype=I32)
-    starts = jnp.sort(jnp.where(mask & ~prev, iota, n))[:max_runs]
-    ends = jnp.sort(jnp.where(mask & ~nxt, iota, n))[:max_runs] + 1
-    count = (mask & ~prev).sum(dtype=I32)
+    # rank[i] = index of the run that boundary i belongs to (0-based);
+    # exclusive cumsum so the k-th start lands in slot k.
+    rank = jnp.cumsum(is_start.astype(I32)) - 1
+    slots = jnp.arange(max_runs, dtype=I32)
+    start_hot = is_start[None, :] & (rank[None, :] == slots[:, None])
+    end_hot = is_end[None, :] & (rank[None, :] == slots[:, None])
+    # Exactly one hot per occupied slot; empty slots sum to 0 -> map to n.
+    starts = (start_hot * iota[None, :]).sum(axis=1, dtype=I32)
+    ends = (end_hot * iota[None, :]).sum(axis=1, dtype=I32)
+    count = is_start.sum(dtype=I32)
+    occupied = slots < count
+    starts = jnp.where(occupied, starts, n)
+    ends = jnp.where(occupied, ends, n) + 1
     return starts, ends, count
 
 

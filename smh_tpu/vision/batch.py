@@ -51,14 +51,30 @@ class BatchPipeline:
         ocr_engine=None,
         lsd_window: Optional[float] = 0.5,
         host_workers: int = 4,
+        mesh=None,
     ) -> None:
         """lsd_window: LSD crop window as a fraction of the map (None = full
         mask in the pack; the per-frame driver's adaptive ladder does not
         apply here — batch jobs are offline and retry-free, so a fixed window
-        + full-mask fallback keeps one jit bucket)."""
+        + full-mask fallback keeps one jit bucket).
+
+        mesh: a jax.sharding.Mesh with a "dp" axis — the multi-chip mode.
+        The batch axis is laid out over "dp" and XLA SPMD runs the SAME
+        compiled per-frame DAG on each chip's slice (the vmap in
+        _analyze_batch_packed has no cross-frame dependency, so the only
+        collectives are the output gather). The cross-batch delta chain is
+        disabled on a mesh: delta reconstruction is a lax.scan over the
+        batch axis — a sequential cross-chip dependency that would serialize
+        the very parallelism the mesh buys (and batch-DP targets throughput
+        over independent clients/backlogs, not single-stream video latency).
+        """
         self.geom = C.map_geometry(frame_w, frame_h)
         self.batch = batch
         self.ocr_engine = ocr_engine
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape["dp"]
+            assert batch % dp == 0, f"batch={batch} not divisible by dp={dp}"
         g = self.geom
         mask_bytes = g.map_h * ((g.map_w + 7) // 8)
         if lsd_window is None or mask_bytes <= 16 * 1024:
@@ -236,7 +252,8 @@ class BatchPipeline:
             quiet_pallas=ops_pipeline.quiet_pallas_mode(),
         )
         delta_ok = (
-            self.delta_mode not in ("0", "off")
+            self.mesh is None  # see __init__: no cross-chip scan chains
+            and self.delta_mode not in ("0", "off")
             and (self.delta_mode in ("1", "on") or rois.shape[1] >= _DELTA_MIN_BYTES)
             and self._resident is not None
             and self._mirror is not None
@@ -258,8 +275,13 @@ class BatchPipeline:
             self.stats["delta_batches"] += 1
             self.stats["h2d_bytes"] += buf.size
         else:
+            rois_in = rois
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rois_in = jax.device_put(rois, NamedSharding(self.mesh, P("dp")))
             out = dict(ops_pipeline._analyze_batch_packed(
-                rois, resident_row=n - 1, **kw
+                rois_in, resident_row=n - 1, **kw
             ))
             self.stats["full_batches"] += 1
             self.stats["h2d_bytes"] += rois.size

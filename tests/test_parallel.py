@@ -138,3 +138,73 @@ def test_batch_packed_sharded_matches_unsharded(mesh8):
 
     assert (np.asarray(plain["hostpack"]) == np.asarray(sharded["hostpack"])).all()
     assert (np.asarray(plain["lsd_bits"]) == np.asarray(sharded["lsd_bits"])).all()
+
+
+def test_march_sharded_values_match_single(mesh8):
+    """The dp-sharded batched march must produce VALUE-identical ends and
+    lengths to the unsharded single-frame march (round-2 verdict: shapes
+    alone would pass a wrong-but-finite sharded march)."""
+    from smh_tpu import testing
+    from smh_tpu.ops import lsd as ops_lsd
+
+    w, h = 320, 200
+    g = C.map_geometry(w, h)
+    masks = []
+    pts = []
+    for i in range(8):
+        f = testing.make_frame(w, h, marker_lines=[((10 + i, 12), (100 + i, 64))])
+        from smh_tpu.vision.reference import ReferenceBackend
+
+        be = ReferenceBackend()
+        be.load_frame(f)
+        be.crop_to_map(True)
+        be.isolate_map_markers()
+        be.mask_marker_lines()
+        masks.append(be.lsd_image)
+        pts.append([55.0 + i, 38.0])
+    masks = np.stack(masks)
+    pts = np.asarray(pts, np.float32)
+
+    ends, lengths = spmd.march_batch(jax.numpy.asarray(masks), jax.numpy.asarray(pts), mesh8)
+    ends = np.asarray(ends)
+    lengths = np.asarray(lengths)
+
+    mh, mw = masks.shape[1:]
+    max_k = ops_lsd._max_k(mh, mw)
+    for i in range(8):
+        e1, l1 = ops_lsd._march(
+            jax.numpy.asarray(masks[i]), jax.numpy.asarray(pts[i]),
+            h=mh, w=mw, max_gap=C.LSD_MAX_GAP, max_k=max_k,
+        )
+        assert (np.asarray(e1) == ends[i]).all()
+        assert (np.asarray(l1) == lengths[i]).all()
+
+
+def test_batch_pipeline_mesh_full_dag(mesh8):
+    """The COMPLETE frame->markers+scales DAG (BatchPipeline: fused pass,
+    windowed LSD, device scale records, minimap rect, host march) run over
+    the mesh must produce detections equal to the single-device pipeline."""
+    from smh_tpu.ocr.smhocr import SmhOcrEngine
+    from smh_tpu.vision.batch import BatchPipeline
+    from tests.test_smhocr import render_text_frame
+
+    w, h = 1280, 720
+    # frames differ (text size varies) so a sharding/indexing mistake cannot
+    # hide behind a repeated frame; each carries marker + "300m" + scale bar
+    frames = [render_text_frame("300m", size=20 + (i % 3)) for i in range(8)]
+
+    single = BatchPipeline(w, h, batch=8, ocr_engine=SmhOcrEngine())
+    meshp = BatchPipeline(w, h, batch=8, ocr_engine=SmhOcrEngine(), mesh=mesh8)
+    r1 = single.process(frames)
+    r2 = meshp.process(frames)
+    single.close()
+    meshp.close()
+
+    assert meshp.stats["full_batches"] == 1 and meshp.stats["delta_batches"] == 0
+    for a, b in zip(r1, r2):
+        assert a.sleeping == b.sleeping
+        assert [(l.p0, l.p1) for l in a.markers] == [(l.p0, l.p1) for l in b.markers]
+        assert a.minimap_bounds == b.minimap_bounds
+        assert a.meters_to_px_ratio == b.meters_to_px_ratio
+    assert not r1[0].sleeping and r1[0].markers
+    assert r1[0].meters_to_px_ratio is not None
