@@ -16,20 +16,30 @@ from .. import consts as C
 F32 = jnp.float32
 
 
+def luma8_planes(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Rec.709 luma on channel PLANES (the production layout: interleaved
+    [h,w,3] arrays force XLA to emit a multi-ms planarizing layout copy at
+    4K — every channel consumer here slices planes anyway)."""
+    l = (
+        F32(0.2126) * r.astype(F32) + F32(0.7152) * g.astype(F32)
+    ) + F32(0.0722) * b.astype(F32)
+    return l.astype(jnp.uint8)
+
+
 def luma8(rgb_u8: jnp.ndarray) -> jnp.ndarray:
     """Rec.709 luma, f32 accumulate, truncating cast (image-0.23 semantics)."""
-    r = rgb_u8[..., 0].astype(F32)
-    g = rgb_u8[..., 1].astype(F32)
-    b = rgb_u8[..., 2].astype(F32)
-    l = (F32(0.2126) * r + F32(0.7152) * g) + F32(0.0722) * b
-    return l.astype(jnp.uint8)
+    return luma8_planes(rgb_u8[..., 0], rgb_u8[..., 1], rgb_u8[..., 2])
 
 
 def rgb_to_hsv_u8(rgb_u8: jnp.ndarray):
     """(h u16, s u8, v u8) with the oracle's truncation semantics."""
-    r = rgb_u8[..., 0].astype(F32) / F32(255.0)
-    g = rgb_u8[..., 1].astype(F32) / F32(255.0)
-    b = rgb_u8[..., 2].astype(F32) / F32(255.0)
+    return rgb_to_hsv_u8_planes(rgb_u8[..., 0], rgb_u8[..., 1], rgb_u8[..., 2])
+
+
+def rgb_to_hsv_u8_planes(r8: jnp.ndarray, g8: jnp.ndarray, b8: jnp.ndarray):
+    r = r8.astype(F32) / F32(255.0)
+    g = g8.astype(F32) / F32(255.0)
+    b = b8.astype(F32) / F32(255.0)
 
     mx = jnp.maximum(r, jnp.maximum(g, b))
     mn = jnp.minimum(r, jnp.minimum(g, b))
@@ -52,7 +62,15 @@ def rgb_to_hsv_u8(rgb_u8: jnp.ndarray):
 
 def is_any_map_marker_color(rgb_u8: jnp.ndarray) -> jnp.ndarray:
     """Fireteam marker-color predicate -> bool, matching the oracle."""
-    h, s, v = rgb_to_hsv_u8(rgb_u8)
+    return is_any_map_marker_color_planes(
+        rgb_u8[..., 0], rgb_u8[..., 1], rgb_u8[..., 2]
+    )
+
+
+def is_any_map_marker_color_planes(
+    r8: jnp.ndarray, g8: jnp.ndarray, b8: jnp.ndarray
+) -> jnp.ndarray:
+    h, s, v = rgb_to_hsv_u8_planes(r8, g8, b8)
     h = h.astype(jnp.int32)
     s = s.astype(jnp.int32)
     v = v.astype(jnp.int32)

@@ -94,7 +94,18 @@ def _classify_luma_kernel(r_ref, g_ref, b_ref, marker_ref, luma_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def classify_luma_pallas(map_rgb: jnp.ndarray, interpret: bool = False):
     """map_rgb u8 [H, W, 3] -> (marker u8 0/1 [H, W], luma u8 [H, W])."""
-    h, w = map_rgb.shape[:2]
+    return classify_luma_pallas_planes(
+        map_rgb[..., 0], map_rgb[..., 1], map_rgb[..., 2], interpret=interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def classify_luma_pallas_planes(
+    r8: jnp.ndarray, g8: jnp.ndarray, b8: jnp.ndarray, interpret: bool = False
+):
+    """Channel-plane entry (the production layout: plane inputs reach the
+    kernel with no planarizing layout copy)."""
+    h, w = r8.shape
     grid = (pl.cdiv(h, TILE_H), pl.cdiv(w, TILE_W))
     plane_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))
 
@@ -108,7 +119,7 @@ def classify_luma_pallas(map_rgb: jnp.ndarray, interpret: bool = False):
         in_specs=[plane_spec, plane_spec, plane_spec],
         out_specs=(plane_spec, plane_spec),
         interpret=interpret,
-    )(map_rgb[..., 0], map_rgb[..., 1], map_rgb[..., 2])
+    )(r8, g8, b8)
     return marker, luma
 
 
@@ -340,19 +351,40 @@ def _quiet_walk_kernel_factory(h: int, w: int, w8: int):
             g_s[...].astype(jnp.int32),
             b_s[...].astype(jnp.int32),
         ]
-        centres = [p[HALO : HALO + QBAND_H, :] for p in planes]
+
+        # SAD is symmetric: SAD(p, p+d) == SAD(q, q-d) at q = p+d, so the 8
+        # neighbour terms are 4 forward SAD planes + 4 shifted views of the
+        # same planes — half the abs-diff math and 12 rolls instead of 18.
+        # Each forward plane is computed on an EXTENDED row range
+        # [HALO-1, HALO+QBAND_H+1) so the reverse (row-shifted) view of the
+        # band interior stays inside it. No clamp: channel diffs sum to
+        # <= 765 in i32, and min(diff, 8) never changes (sad <= 7).
+        EX = QBAND_H + 2  # extended rows: band + 1 row each side
+
+        def sad_plane(dy, dx):
+            """sad[r, c] = sum_ch |p[r, c] - p[r+dy, c+dx]| on extended rows."""
+            sad = jnp.zeros((EX, w8), dtype=jnp.int32)
+            for p in planes:
+                a = p[HALO - 1 : HALO - 1 + EX, :]
+                nb = p[HALO - 1 + dy : HALO - 1 + dy + EX, :]
+                if dx:
+                    nb = pltpu.roll(nb, (w8 - dx) % w8, axis=1)
+                sad = sad + jnp.abs(a - nb)
+            return sad
 
         quiet = jnp.ones((QBAND_H, w8), dtype=jnp.bool_)
-        for dy in (-1, 0, 1):
-            shifted = [p[HALO + dy : HALO + dy + QBAND_H, :] for p in planes]
-            for dx in (-1, 0, 1):
-                if dy == 0 and dx == 0:
-                    continue
-                sad = jnp.zeros((QBAND_H, w8), dtype=jnp.int32)
-                for c, p in zip(centres, shifted):
-                    nb = pltpu.roll(p, (w8 - dx) % w8, axis=1) if dx else p
-                    sad = sad + jnp.minimum(jnp.abs(c - nb), 8)
-                quiet = quiet & (sad <= 7)
+        for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+            sad = sad_plane(dy, dx)
+            ok = sad <= 7
+            # forward term at the band interior (extended row 1 == band row 0)
+            quiet = quiet & ok[1 : 1 + QBAND_H, :]
+            # reverse term: ok at p-d (row shift via the extended range,
+            # column shift via one roll of the BOOL plane through i32)
+            rev = ok[1 - dy : 1 - dy + QBAND_H, :]
+            if dx:
+                rev_i = pltpu.roll(rev.astype(jnp.int32), dx % w8, axis=1)
+                rev = rev_i > 0
+            quiet = quiet & rev
 
         # Borders: the 1-px frame is never quiet (edge pixels have no full
         # 8-neighbourhood); padded rows/cols neither. Absolute coordinates.
@@ -388,20 +420,24 @@ def _quiet_walk_kernel_factory(h: int, w: int, w8: int):
     return kernel
 
 
-def _rect_pallas_batched(maps: jnp.ndarray, interpret: bool) -> jnp.ndarray:
-    """u8 [B, H, W, C] -> i32 [B, 4] minimap rects (one kernel launch,
-    grid (B, bands))."""
+def _rect_pallas_batched(
+    p0: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray, interpret: bool
+) -> jnp.ndarray:
+    """Channel planes u8 [B, H, W] x3 -> i32 [B, 4] minimap rects (one
+    kernel launch, grid (B, bands)). Plane inputs: an interleaved map would
+    force a planarizing layout copy before the pad (SAD sums channels, so
+    the plane order is irrelevant)."""
     from . import pipeline as _pl
 
-    bsz, h, w = maps.shape[:3]
+    bsz, h, w = p0.shape
     w8 = ((w + 127) // 128) * 128
     hb = ((h + QBAND_H - 1) // QBAND_H) * QBAND_H
     grid_n = hb // QBAND_H
 
-    planes = []
-    for c in range(3):
-        p = jnp.pad(maps[..., c], ((0, 0), (HALO, HALO + hb - h), (0, w8 - w)))
-        planes.append(p)
+    planes = [
+        jnp.pad(p, ((0, 0), (HALO, HALO + hb - h), (0, w8 - w)))
+        for p in (p0, p1, p2)
+    ]
 
     colpack, rowpack = pl.pallas_call(
         _quiet_walk_kernel_factory(h, w, w8),
@@ -475,29 +511,39 @@ def _rect_pallas_batched(maps: jnp.ndarray, interpret: bool) -> jnp.ndarray:
 @functools.lru_cache(maxsize=4)
 def _rect_pallas_vmappable(interpret: bool):
     """custom_vmap wrapper: a vmap over the single-map entry (the batched
-    fused pass vmaps _analyze_map) reroutes to the natively-batched kernel
-    instead of trying to batch the pallas_call itself."""
+    fused pass vmaps the per-frame pass) reroutes to the natively-batched
+    kernel instead of trying to batch the pallas_call itself."""
     from jax.custom_batching import custom_vmap
 
     @custom_vmap
-    def rect(map_bgra):
-        return _rect_pallas_batched(map_bgra[None], interpret)[0]
+    def rect(p0, p1, p2):
+        return _rect_pallas_batched(p0[None], p1[None], p2[None], interpret)[0]
 
     @rect.def_vmap
-    def _rect_vmap_rule(axis_size, in_batched, maps):
-        (m_batched,) = in_batched
-        assert m_batched, "custom_vmap rule called without a batched operand"
-        return _rect_pallas_batched(maps, interpret), True
+    def _rect_vmap_rule(axis_size, in_batched, p0, p1, p2):
+        assert all(in_batched), "custom_vmap rule called without batched operands"
+        return _rect_pallas_batched(p0, p1, p2, interpret), True
 
     return rect
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def minimap_rect_pallas(map_bgra: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """BGRA/BGR u8 [H, W, C] map ROI -> i32 [4] minimap rect.
+    """BGRA/BGR u8 [H, W, C] map ROI -> i32 [4] minimap rect (interleaved
+    compatibility entry; see minimap_rect_pallas_planes)."""
+    return minimap_rect_pallas_planes(
+        map_bgra[..., 0], map_bgra[..., 1], map_bgra[..., 2], interpret=interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def minimap_rect_pallas_planes(
+    p0: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Channel planes u8 [H, W] x3 -> i32 [4] minimap rect.
 
     Same result as _minimap_rect(_edgy_quiet(map)) (ops/pipeline.py), with
     the edginess + run reductions fused into one VMEM pass; only the
     [w]/[h]-vector walks remain in XLA. vmap-compatible via custom_vmap
     (batch callers get one launch with grid (B, bands))."""
-    return _rect_pallas_vmappable(interpret)(map_bgra)
+    return _rect_pallas_vmappable(interpret)(p0, p1, p2)

@@ -311,17 +311,27 @@ def _edgy_quiet(map_bgra: jnp.ndarray) -> jnp.ndarray:
     (src/vision/find_minimap.rs:9-46: 7/765 <= 0.01 < 8/765). Pure integer
     math -> bit-exact with the host oracle. The 1-px border is forced False
     (the walks never sample closer than 3 px from an edge)."""
-    bgr = map_bgra[..., :3].astype(jnp.int16)
-    h, w = bgr.shape[:2]
+    return _edgy_quiet_planes(
+        map_bgra[..., 0], map_bgra[..., 1], map_bgra[..., 2]
+    )
+
+
+def _edgy_quiet_planes(
+    p0: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray
+) -> jnp.ndarray:
+    """_edgy_quiet on channel planes (SAD is channel-order agnostic)."""
+    planes = [p.astype(jnp.int16) for p in (p0, p1, p2)]
+    h, w = planes[0].shape
 
     best = jnp.zeros((h - 2, w - 2), dtype=jnp.int16)
-    centre = bgr[1:-1, 1:-1]
+    centres = [p[1:-1, 1:-1] for p in planes]
     for dy in range(3):
         for dx in range(3):
             if dy == 1 and dx == 1:
                 continue
-            nb = bgr[dy : dy + h - 2, dx : dx + w - 2]
-            d = jnp.abs(centre - nb).sum(axis=-1).astype(jnp.int16)
+            d = jnp.zeros((h - 2, w - 2), dtype=jnp.int16)
+            for p, c in zip(planes, centres):
+                d = d + jnp.abs(c - p[dy : dy + h - 2, dx : dx + w - 2])
             best = jnp.maximum(best, d)
 
     quiet = best <= 7
@@ -331,12 +341,20 @@ def _edgy_quiet(map_bgra: jnp.ndarray) -> jnp.ndarray:
 def _ocr_preprocess(brq_rgb: jnp.ndarray) -> jnp.ndarray:
     """Whiteish-text isolation (oracle: smh_tpu/vision/pixmath.py:ocr_preprocess,
     reference: vision-cpu/src/lib.rs:173-231)."""
-    h, w = brq_rgb.shape[:2]
-    r = brq_rgb[..., 0].astype(jnp.int16)
-    g = brq_rgb[..., 1].astype(jnp.int16)
-    b = brq_rgb[..., 2].astype(jnp.int16)
+    return _ocr_preprocess_planes(
+        brq_rgb[..., 0], brq_rgb[..., 1], brq_rgb[..., 2]
+    )
+
+
+def _ocr_preprocess_planes(
+    r8: jnp.ndarray, g8: jnp.ndarray, b8: jnp.ndarray
+) -> jnp.ndarray:
+    h, w = r8.shape
+    r = r8.astype(jnp.int16)
+    g = g8.astype(jnp.int16)
+    b = b8.astype(jnp.int16)
     mono = 2 * (jnp.abs(r - g) + jnp.abs(r - b) + jnp.abs(g - b))
-    mn = jnp.minimum(jnp.minimum(brq_rgb[..., 0], brq_rgb[..., 1]), brq_rgb[..., 2])
+    mn = jnp.minimum(jnp.minimum(r8, g8), b8)
 
     strict = (mono <= C.OCR_PREPROCESS_MONOCHROMATICY_THRESHOLD) & (
         mn >= C.OCR_PREPROCESS_BRIGHTNESS_THRESHOLD
@@ -354,7 +372,7 @@ def _ocr_preprocess(brq_rgb: jnp.ndarray) -> jnp.ndarray:
     near_strict = _box_dilate_bool(clipped, R)
 
     keep = strict | (edge_cand & near_strict)
-    inv = jnp.uint8(255) - hsv.luma8(brq_rgb)
+    inv = jnp.uint8(255) - hsv.luma8_planes(r8, g8, b8)
     return jnp.where(keep, inv, jnp.uint8(255))
 
 
@@ -388,31 +406,60 @@ def _analyze_map(
     pallas: str = "off",
     quiet_pallas: str = "off",
 ):
-    """The fused pass over the map ROI only. Uploading just the ROIs instead
-    of the whole frame cuts H2D ~2.3x (the map is the only region the
-    pipeline reads besides the close-button; the BRQ is the map's own
-    bottom-right quadrant). Accepts BGRA [h,w,4] or BGR [h,w,3] — the alpha
-    byte is never read, and the production upload drops it (25% fewer H2D
-    bytes; this link moves uploads at ~40-120 MB/s)."""
-    map_h, map_w = map_bgra.shape[:2]
-    brq_h, brq_w = map_h // 2, map_w // 2
-    map_rgb = _bgra_to_rgb(map_bgra)
+    """The fused pass over an INTERLEAVED map ROI ([h,w,4] BGRA or [h,w,3]
+    BGR — the alpha byte is never read). Compatibility entry for full-frame
+    callers (analyze_frame, parallel/spmd); the production flat dispatch
+    feeds _analyze_map_planes directly — on this TPU an interleaved u8 map
+    forces XLA to emit a planarizing layout copy (~5 ms at 4K, 42% of the
+    whole program's estimated cycles) because every channel consumer reads
+    planes."""
+    b8 = map_bgra[..., 0]
+    g8 = map_bgra[..., 1]
+    r8 = map_bgra[..., 2]
+    return _analyze_map_planes(
+        b8, g8, r8, grayscale=grayscale, with_isolated=with_isolated,
+        pallas=pallas, quiet_pallas=quiet_pallas,
+    )
+
+
+def _analyze_map_planes(
+    b8: jnp.ndarray,
+    g8: jnp.ndarray,
+    r8: jnp.ndarray,
+    grayscale: bool,
+    with_isolated: bool,
+    pallas: str = "off",
+    quiet_pallas: str = "off",
+):
+    """The fused pass over the map ROI as BGR channel PLANES ([h,w] each).
+
+    Uploading just the ROIs instead of the whole frame cuts H2D ~2.3x (the
+    map is the only region the pipeline reads besides the close-button; the
+    BRQ is the map's own bottom-right quadrant). The planar layout is the
+    production upload format: flat plane-major bytes reshape to [3,h,w] with
+    zero layout copies, and every consumer (classify, luma, OCR preprocess,
+    quiet SAD) reads whole planes."""
+    map_h, map_w = b8.shape
 
     luma = None
     if pallas != "off":
         from . import pallas_kernels as pk
 
-        marker_u8, luma = pk.classify_luma_pallas(map_rgb, interpret=(pallas == "interpret"))
+        marker_u8, luma = pk.classify_luma_pallas_planes(
+            r8, g8, b8, interpret=(pallas == "interpret")
+        )
         marker = marker_u8 != 0
     else:
-        marker = hsv.is_any_map_marker_color(map_rgb)
+        marker = hsv.is_any_map_marker_color_planes(r8, g8, b8)
 
     # ui_map: what the user sees (crop_to_map, cuda.cu:354-406). Grayscale
     # travels as a single luma plane (the host expands to RGBA): 4x less D2H.
     if grayscale:
-        ui = luma if luma is not None else hsv.luma8(map_rgb)
+        ui = luma if luma is not None else hsv.luma8_planes(r8, g8, b8)
     else:
-        ui = map_rgb
+        # Color mode re-interleaves for display (one transpose copy — only
+        # paid when grayscale_map is off).
+        ui = jnp.stack([r8, g8, b8], axis=-1)
 
     # LSD mask: the marker predicate + L1 r=1 dilate. Blackening non-marker
     # pixels (isolate_map_markers) then re-testing (mask_marker_lines) equals
@@ -420,20 +467,24 @@ def _analyze_map(
     lsd_bool = _dilate_l1_radius1_bool(marker)
     lsd_mask = jnp.where(lsd_bool, jnp.uint8(255), jnp.uint8(0))
 
-    brq_bgra = jax.lax.slice(
-        map_bgra, (brq_h, brq_w, 0), (brq_h + brq_h, brq_w + brq_w, map_bgra.shape[2])
-    )
-    brq_rgb = _bgra_to_rgb(brq_bgra)
+    brq_h, brq_w = map_h // 2, map_w // 2
 
-    ocr_img = _ocr_preprocess(brq_rgb)
-    scales_bool = hsv.luma8(brq_rgb) != 0
+    def brq(p):
+        return jax.lax.slice(p, (brq_h, brq_w), (brq_h + brq_h, brq_w + brq_w))
+
+    brq_b, brq_g, brq_r = brq(b8), brq(g8), brq(r8)
+
+    ocr_img = _ocr_preprocess_planes(brq_r, brq_g, brq_b)
+    scales_bool = hsv.luma8_planes(brq_r, brq_g, brq_b) != 0
 
     # Cheap device-side checksum of the ui plane: lets the host skip the
     # (expensive) D2H + web push when the visible map did not change.
-    if ui.ndim == 3:
-        ui_flat = ui.astype(jnp.uint32).sum(axis=2)
-    else:
+    if grayscale:
         ui_flat = ui
+    else:
+        ui_flat = (
+            r8.astype(jnp.uint32) + g8.astype(jnp.uint32) + b8.astype(jnp.uint32)
+        )
     ui_check = _weighted_check(ui_flat)
 
     out = {
@@ -452,14 +503,15 @@ def _analyze_map(
         # see pallas_kernels.minimap_rect_pallas).
         from . import pallas_kernels as pk
 
-        out["minimap_rect_dev"] = pk.minimap_rect_pallas(
-            map_bgra, interpret=(quiet_pallas == "interpret")
+        out["minimap_rect_dev"] = pk.minimap_rect_pallas_planes(
+            b8, g8, r8, interpret=(quiet_pallas == "interpret")
         )
     else:
-        out["quiet_bool"] = _edgy_quiet(map_bgra)
+        out["quiet_bool"] = _edgy_quiet_planes(b8, g8, r8)
     if with_isolated:
+        map_rgb = jnp.stack([r8, g8, b8], axis=-1)
         out["isolated_map"] = jnp.where(marker[..., None], map_rgb, jnp.uint8(0))
-        out["cropped_brq"] = brq_rgb
+        out["cropped_brq"] = jnp.stack([brq_r, brq_g, brq_b], axis=-1)
     return out
 
 
@@ -692,16 +744,31 @@ def _analyze_flat_core(
 ):
     """Shared body of the flat-upload dispatch variants: slices both ROIs out
     of one flat u8 buffer (any bytes past map+btn — chunk padding — are
-    ignored) and runs the fused pass + red gate + hostpack packing."""
+    ignored) and runs the fused pass + red gate + hostpack packing.
+
+    channels==3 is the production format: the MAP bytes are PLANE-MAJOR
+    (B plane, G plane, R plane — _pack_rois_bgr packs them that way), so the
+    reshape to [3, map_h, map_w] is layout-free. An interleaved [h,w,3] map
+    would force XLA to planarize it for the channel consumers — a ~5 ms
+    layout copy at 4K, measured at 42% of the whole program's estimated
+    cycles. The (small) button ROI stays interleaved. channels==4 keeps the
+    legacy interleaved-BGRA contract."""
     crop_h = map_h if crop_h is None else crop_h
     crop_w = map_w if crop_w is None else crop_w
     map_bytes = map_h * map_w * channels
-    map_bgra = rois[:map_bytes].reshape(map_h, map_w, channels)
     btn_bgra = rois[map_bytes : map_bytes + btn_h * btn_w * channels].reshape(btn_h, btn_w, channels)
-    out = _analyze_map(
-        map_bgra, grayscale=grayscale, with_isolated=False, pallas=pallas,
-        quiet_pallas=quiet_pallas,
-    )
+    if channels == 3:
+        planes = rois[:map_bytes].reshape(3, map_h, map_w)
+        out = _analyze_map_planes(
+            planes[0], planes[1], planes[2], grayscale=grayscale,
+            with_isolated=False, pallas=pallas, quiet_pallas=quiet_pallas,
+        )
+    else:
+        map_bgra = rois[:map_bytes].reshape(map_h, map_w, channels)
+        out = _analyze_map(
+            map_bgra, grayscale=grayscale, with_isolated=False, pallas=pallas,
+            quiet_pallas=quiet_pallas,
+        )
     red = _red_gate_roi(btn_bgra)
     return _pack_outputs(
         out, red, with_ocr, with_quiet, crop_h, crop_w, scales_inline,
@@ -969,6 +1036,19 @@ def analyze_map(
 ) -> dict:
     """Run the fused pass over a BGRA u8 map-ROI device array."""
     return _analyze_map(map_dev, grayscale=grayscale, with_isolated=with_isolated)
+
+
+@functools.partial(jax.jit, static_argnames=("grayscale", "with_isolated"))
+def analyze_map_planar(
+    planes: jax.Array, grayscale: bool = True, with_isolated: bool = False
+) -> dict:
+    """Fused pass over a PLANE-MAJOR BGR u8 [3, h, w] map ROI (the
+    production resident layout; debug re-dispatch uses this to read the
+    resident buffer without a layout copy)."""
+    return _analyze_map_planes(
+        planes[0], planes[1], planes[2], grayscale=grayscale,
+        with_isolated=with_isolated,
+    )
 
 
 def analyze_frame(

@@ -101,11 +101,13 @@ class BatchPipeline:
         self.stats = {"delta_batches": 0, "full_batches": 0, "h2d_bytes": 0}
 
     def _pack_rois(self, frames: list[np.ndarray]) -> np.ndarray:
-        """[B, padded_roi_bytes] u8: per-frame flat BGR ROIs (cvtColor writes
-        straight into the row views; padding rows/tails are zero). The
-        per-frame repacks are independent row writes — fanned out on the
-        host pool (a serial loop costs ~15-30 ms/frame at 4K, most of the
-        batch's host half)."""
+        """[B, padded_roi_bytes] u8: per-frame flat ROIs — the MAP as
+        PLANE-MAJOR BGR (same layout as the single-frame transport,
+        tpu_backend._pack_rois_bgr: no planarizing layout copy on device),
+        the button interleaved BGR. mixChannels/cvtColor write straight into
+        the row views; padding rows/tails are zero. The per-frame repacks
+        are independent row writes — fanned out on the host pool (a serial
+        loop costs ~15-30 ms/frame at 4K, most of the batch's host half)."""
         from .tpu_backend import _DELTA_CHUNK, _cv2
 
         g = self.geom
@@ -114,18 +116,23 @@ class BatchPipeline:
         out = np.empty((self.batch, padded), dtype=np.uint8)
         out[len(frames) :] = 0
         out[:, roi_bytes:] = 0
-        msz = g.map_h * g.map_w * 3
+        msz_p = g.map_h * g.map_w  # one plane
+        msz = msz_p * 3
 
         def pack_one(i: int, f: np.ndarray) -> None:
             m = f[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w]
             b = f[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w]
-            mdst = out[i, :msz].reshape(g.map_h, g.map_w, 3)
+            planes = [
+                out[i, c * msz_p : (c + 1) * msz_p].reshape(g.map_h, g.map_w)
+                for c in range(3)
+            ]
             bdst = out[i, msz:roi_bytes].reshape(g.btn_h, g.btn_w, 3)
             if _cv2 is not None:
-                _cv2.cvtColor(m, _cv2.COLOR_BGRA2BGR, dst=mdst)
+                _cv2.mixChannels([m], planes, (0, 0, 1, 1, 2, 2))
                 _cv2.cvtColor(b, _cv2.COLOR_BGRA2BGR, dst=bdst)
             else:
-                mdst[...] = m[..., :3]
+                for c in range(3):
+                    planes[c][...] = m[..., c]
                 bdst[...] = b[..., :3]
 
         futs = [self._pool.submit(pack_one, i, f) for i, f in enumerate(frames)]

@@ -98,25 +98,31 @@ def _delta_bucket(n: int, n_chunks: int) -> Optional[int]:
 def _pack_rois_bgr(
     map_roi: np.ndarray, btn_roi: np.ndarray, pad_to: int = 0
 ) -> np.ndarray:
-    """Flatten both BGRA ROI views into one BGR u8 upload buffer. Fresh
-    buffer per frame (device_put reads host memory lazily); shaped copies
-    (strided reshape(-1) assignment is a ~100 MB/s numpy slow path).
-    pad_to > 0 rounds the buffer up to a multiple of pad_to with zeroed tail
-    bytes (the delta transport's chunk grid; the fused pass never reads past
-    map+btn)."""
+    """Flatten both BGRA ROI views into one u8 upload buffer: the MAP as
+    PLANE-MAJOR BGR (B plane, then G, then R), the (small) button ROI
+    interleaved BGR. The planar map is why the device pass has no layout
+    copies: XLA's channel consumers all read planes, and an interleaved
+    [h,w,3] device array costs a ~5 ms planarizing copy at 4K (measured:
+    42% of the fused pass's estimated cycles, twice). Host-side the split
+    is one cv2.mixChannels pass (~SIMD memcpy per plane). Fresh buffer per
+    frame (device_put reads host memory lazily). pad_to > 0 rounds the
+    buffer up to a multiple of pad_to with zeroed tail bytes (the delta
+    transport's chunk grid; the fused pass never reads past map+btn)."""
     mh, mw = map_roi.shape[:2]
     bh, bw = btn_roi.shape[:2]
-    used = mh * mw * 3 + bh * bw * 3
+    msz = mh * mw
+    used = msz * 3 + bh * bw * 3
     total = used if pad_to <= 0 else ((used + pad_to - 1) // pad_to) * pad_to
     packed = np.empty(total, dtype=np.uint8)
     packed[used:] = 0
-    mdst = packed[: mh * mw * 3].reshape(mh, mw, 3)
-    bdst = packed[mh * mw * 3 : used].reshape(bh, bw, 3)
+    planes = [packed[c * msz : (c + 1) * msz].reshape(mh, mw) for c in range(3)]
+    bdst = packed[msz * 3 : used].reshape(bh, bw, 3)
     if _cv2 is not None:
-        _cv2.cvtColor(map_roi, _cv2.COLOR_BGRA2BGR, dst=mdst)
+        _cv2.mixChannels([map_roi], planes, (0, 0, 1, 1, 2, 2))
         _cv2.cvtColor(btn_roi, _cv2.COLOR_BGRA2BGR, dst=bdst)
     else:
-        mdst[...] = map_roi[..., :3]
+        for c in range(3):
+            planes[c][...] = map_roi[..., c]
         bdst[...] = btn_roi[..., :3]
     return packed
 
@@ -689,10 +695,12 @@ class TpuBackend:
             # Debug views want the extra intermediates: run the full-output
             # pass too (debug mode trades speed for visibility).
             map_dev = self.rois_dev[: g.map_h * g.map_w * ROI_CHANNELS].reshape(
-                g.map_h, g.map_w, ROI_CHANNELS
+                ROI_CHANNELS, g.map_h, g.map_w
             )
             self._results.update(
-                ops_pipeline.analyze_map(map_dev, grayscale=grayscale, with_isolated=True)
+                ops_pipeline.analyze_map_planar(
+                    map_dev, grayscale=grayscale, with_isolated=True
+                )
             )
 
         # The ui map is display-only — it is NOT on the frame->markers+scales

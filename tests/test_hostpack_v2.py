@@ -177,19 +177,19 @@ def test_pallas_flag_routes_classify_through_kernel(monkeypatch):
     from smh_tpu.ops import pipeline as ops_pipeline
 
     calls = []
-    real = pk.classify_luma_pallas
+    real = pk.classify_luma_pallas_planes
 
-    def spy(map_rgb, interpret=False):
+    def spy(r8, g8, b8, interpret=False):
         calls.append(interpret)
-        return real(map_rgb, interpret=interpret)
+        return real(r8, g8, b8, interpret=interpret)
 
-    monkeypatch.setattr(pk, "classify_luma_pallas", spy)
+    monkeypatch.setattr(pk, "classify_luma_pallas_planes", spy)
     monkeypatch.setenv("SMH_USE_PALLAS", "1")
     assert ops_pipeline.pallas_mode() == "interpret"  # CPU test platform
 
     frame = small_lines_frame()
     lines_pallas = detect(TpuBackend(), frame)
-    assert calls, "SMH_USE_PALLAS=1 must route through classify_luma_pallas"
+    assert calls, "SMH_USE_PALLAS=1 must route through classify_luma_pallas_planes"
 
     monkeypatch.setenv("SMH_USE_PALLAS", "0")
     lines_xla = detect(TpuBackend(), frame)
