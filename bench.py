@@ -261,23 +261,17 @@ def measure_batched(w: int, h: int, iters: int, batch: int = 8) -> tuple[float, 
     assert all(not r.sleeping and r.markers for r in results)
     bp.process(frames[batch : 2 * batch])
     stats0 = dict(bp.stats)
-    job = None
     lat: list[float] = []
     t_prev = time.perf_counter()
-    for s in range(2, n_batches + 2):
-        nxt = bp.submit(frames[s * batch : (s + 1) * batch])
-        if job is not None:
-            rs = bp.collect(job)
-            assert all(not r.sleeping and r.markers for r in rs)
-            now = time.perf_counter()
-            lat.append(now - t_prev)
-            t_prev = now
-        job = nxt
-    rs = bp.collect(job)
-    assert all(not r.sleeping and r.markers for r in rs)
-    lat.append(time.perf_counter() - t_prev)
+    batches = (frames[s * batch : (s + 1) * batch] for s in range(2, n_batches + 2))
+    for rs in bp.stream(batches):
+        assert all(not r.sleeping and r.markers for r in rs)
+        now = time.perf_counter()
+        lat.append(now - t_prev)
+        t_prev = now
     stats = {k: bp.stats[k] - stats0.get(k, 0) for k in bp.stats}
     stats["h2d_bytes_per_frame"] = round(stats["h2d_bytes"] / (n_batches * batch))
+    stats["lat_ms"] = [round(t * 1000.0, 1) for t in lat]
     bp.close()
     # Median per-batch: the relay occasionally stalls one exchange for tens
     # of seconds regardless of workload shape; a median keeps the recorded
@@ -315,6 +309,12 @@ def main() -> None:
             "fps_per_chip": round(1000.0 / per_frame_ms, 2), "batch": args.batch,
             "delta_batches": bstats.get("delta_batches"),
             "h2d_bytes_per_frame": bstats.get("h2d_bytes_per_frame"),
+            "stage_ms": {
+                k[2:-3]: round(bstats[k], 1)
+                for k in sorted(bstats)
+                if k.startswith("t_") and k.endswith("_ms")
+            },
+            "lat_ms": bstats.get("lat_ms"),
         }))
         return
     if args.mode == "stream":

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
@@ -97,8 +98,32 @@ class BatchPipeline:
         self.delta_mode = _os.environ.get("SMH_DELTA", "auto")
         self._resident = None  # device flat ROI buffer = last analyzed frame
         self._mirror: Optional[np.ndarray] = None  # host copy of _resident
+        # Reusable pack buffer (~80 MB at 4K B=8): a fresh np.empty per
+        # batch pays ~10-20 ms of kernel page-zeroing on first touch. Safe
+        # to recycle ONLY when the previous batch rode the delta path (the
+        # packed rois never reach the device then — only the delta buf and
+        # the _mirror copy do); a full upload hands rois to device_put,
+        # which reads host memory lazily, so that buffer is dropped.
+        self._rois_buf: Optional[np.ndarray] = None
         self._uncollected = 0  # submitted-but-not-collected batches
-        self.stats = {"delta_batches": 0, "full_batches": 0, "h2d_bytes": 0}
+        self._uncollected_lock = threading.Lock()  # stream(): 2 threads
+        # Materialization tracking: _fetched_seq = highest submit seq whose
+        # hostpack fetch has completed (program done => the chain tail
+        # resident is materialized) — lets a pipelined submit skip the
+        # 1-byte tail poke (~1 relay command) when the collector already
+        # proved the previous program finished.
+        self._seq = 0
+        self._fetched_seq = 0
+        self._fetch_lock = threading.Lock()
+        # t_* counters: cumulative ms per stage (pack/diff host halves, the
+        # chain-tail poke wait, the async dispatch call, the hostpack fetch,
+        # the per-frame host stages) — the batch bench reports them so the
+        # steady-state bottleneck is visible without a profiler.
+        self.stats = {
+            "delta_batches": 0, "full_batches": 0, "h2d_bytes": 0,
+            "t_pack_ms": 0.0, "t_diff_ms": 0.0, "t_poke_ms": 0.0,
+            "t_dispatch_ms": 0.0, "t_fetch_ms": 0.0, "t_host_ms": 0.0,
+        }
 
     def _pack_rois(self, frames: list[np.ndarray]) -> np.ndarray:
         """[B, padded_roi_bytes] u8: per-frame flat ROIs — the MAP as
@@ -108,12 +133,15 @@ class BatchPipeline:
         the row views; padding rows/tails are zero. The per-frame repacks
         are independent row writes — fanned out on the host pool (a serial
         loop costs ~15-30 ms/frame at 4K, most of the batch's host half)."""
-        from .tpu_backend import _DELTA_CHUNK, _cv2
+        from .tpu_backend import _DELTA_CHUNK, _cv2, _split_planes
 
         g = self.geom
         roi_bytes = (g.map_h * g.map_w + g.btn_h * g.btn_w) * 3
         padded = ((roi_bytes + _DELTA_CHUNK - 1) // _DELTA_CHUNK) * _DELTA_CHUNK
-        out = np.empty((self.batch, padded), dtype=np.uint8)
+        out = self._rois_buf
+        self._rois_buf = None
+        if out is None or out.shape != (self.batch, padded):
+            out = np.empty((self.batch, padded), dtype=np.uint8)
         out[len(frames) :] = 0
         out[:, roi_bytes:] = 0
         msz_p = g.map_h * g.map_w  # one plane
@@ -127,12 +155,10 @@ class BatchPipeline:
                 for c in range(3)
             ]
             bdst = out[i, msz:roi_bytes].reshape(g.btn_h, g.btn_w, 3)
+            _split_planes(m, planes)
             if _cv2 is not None:
-                _cv2.mixChannels([m], planes, (0, 0, 1, 1, 2, 2))
                 _cv2.cvtColor(b, _cv2.COLOR_BGRA2BGR, dst=bdst)
             else:
-                for c in range(3):
-                    planes[c][...] = m[..., c]
                 bdst[...] = b[..., :3]
 
         futs = [self._pool.submit(pack_one, i, f) for i, f in enumerate(frames)]
@@ -208,6 +234,40 @@ class BatchPipeline:
         """frames: BGRA u8 arrays of the pipeline resolution, len <= batch."""
         return self.collect(self.submit(frames))
 
+    def stream(self, batches, depth: int = 2):
+        """Yield collect() results for an iterable of frame batches,
+        overlapping batch N+1's submit half (pack + diff + dispatch, on a
+        worker thread) with batch N's collect half (hostpack fetch + host
+        stages, on the caller thread). On this 1-core host the win is
+        IO/CPU overlap: the fetch's relay wait and the submit's chain-tail
+        poke run under released GILs while the other thread does CPU work.
+        `depth` bounds in-flight batches (submit order = chain order is
+        preserved by the single worker; results yield in the same order)."""
+        import queue
+
+        jobs: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        done = object()
+
+        def submitter() -> None:
+            try:
+                for fr in batches:
+                    jobs.put(self.submit(fr))
+            except BaseException as e:  # propagate into the consumer
+                jobs.put(("__stream_err__", e))
+            else:
+                jobs.put(done)
+
+        t = threading.Thread(target=submitter, daemon=True, name="batch-submit")
+        t.start()
+        while True:
+            j = jobs.get()
+            if j is done:
+                break
+            if isinstance(j, tuple) and j and j[0] == "__stream_err__":
+                raise j[1]
+            yield self.collect(j)
+        t.join()
+
     def submit(self, frames: list[np.ndarray]) -> dict:
         """Pack + diff + dispatch a batch WITHOUT waiting for results.
 
@@ -224,7 +284,10 @@ class BatchPipeline:
         g = self.geom
         assert frames and len(frames) <= self.batch
         n = len(frames)
+        t0 = time.perf_counter()
         rois = self._pack_rois(frames)
+        t1 = time.perf_counter()
+        self.stats["t_pack_ms"] += (t1 - t0) * 1000.0
 
         with_ocr = self.ocr_engine is not None
         # Batch mode is one fetch per batch. Device-capable engines (smhocr
@@ -267,47 +330,72 @@ class BatchPipeline:
             and self._mirror.size == rois.shape[1]
         )
         upd = self._delta_updates(rois, n) if delta_ok else None
+        t2 = time.perf_counter()
+        self.stats["t_diff_ms"] += (t2 - t1) * 1000.0
         if upd is not None:
             buf, bucket = upd
             if self._uncollected:
                 # Pipelined delta chains must not dispatch against an
                 # unmaterialized resident: scan-over-scan dependency chains
                 # stall this relay for ~80 s at depth 4 (measured; full
-                # uploads don't). A 1-byte fetch of the chain tail forces
-                # the previous program to materialize first (~30 ms).
-                np.asarray(self._resident[:1])
+                # uploads don't). Barrier = the previous program finished.
+                # If the collector already fetched the previous hostpack
+                # (all outputs of a program materialize together) the
+                # barrier is free; otherwise pay a 1-byte fetch of the
+                # chain tail (~1 relay command). Never WAIT on the
+                # collector: dispatching early lets the device start while
+                # the hostpack D2H is still streaming (measured faster).
+                if self._fetched_seq < self._seq:
+                    np.asarray(self._resident[:1])
+            t3 = time.perf_counter()
+            self.stats["t_poke_ms"] += (t3 - t2) * 1000.0
             out = dict(ops_pipeline._analyze_batch_delta(
                 self._resident, buf, bucket=bucket, chunk=_DELTA_CHUNK, **kw
             ))
+            self.stats["t_dispatch_ms"] += (time.perf_counter() - t3) * 1000.0
             self.stats["delta_batches"] += 1
             self.stats["h2d_bytes"] += buf.size
+            self._rois_buf = rois  # never left the host: recycle next batch
         else:
             rois_in = rois
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 rois_in = jax.device_put(rois, NamedSharding(self.mesh, P("dp")))
+            t3 = time.perf_counter()
             out = dict(ops_pipeline._analyze_batch_packed(
                 rois_in, resident_row=n - 1, **kw
             ))
+            self.stats["t_dispatch_ms"] += (time.perf_counter() - t3) * 1000.0
             self.stats["full_batches"] += 1
             self.stats["h2d_bytes"] += rois.size
         self._resident = out.pop("resident")
         # Copy: a row view would keep the whole packed batch (~80 MB at 4K,
         # B=8) alive in host RAM until the next submit replaces it.
         self._mirror = rois[n - 1].copy()
-        self._uncollected += 1
-        return {"out": out, "n": n, "inline": inline, "with_ocr": with_ocr}
+        with self._uncollected_lock:
+            self._uncollected += 1
+        self._seq += 1
+        return {
+            "out": out, "n": n, "inline": inline, "with_ocr": with_ocr,
+            "seq": self._seq,
+        }
 
     def collect(self, job: dict) -> list[BatchResult]:
         """Fetch + host stages for a submitted batch (blocks on the device)."""
-        self._uncollected = max(0, self._uncollected - 1)
+        with self._uncollected_lock:
+            self._uncollected = max(0, self._uncollected - 1)
         g = self.geom
         out = job["out"]
         n = job["n"]
         inline = job["inline"]
         with_ocr = job["with_ocr"]
+        t0 = time.perf_counter()
         packs = np.asarray(out["hostpack"])  # ONE fetch for the whole batch
+        t1 = time.perf_counter()
+        self.stats["t_fetch_ms"] += (t1 - t0) * 1000.0
+        with self._fetch_lock:
+            self._fetched_seq = max(self._fetched_seq, job.get("seq", 0))
         layout = ops_pipeline.hostpack_layout(
             g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=True,
             crop_h=self.crop_h, crop_w=self.crop_w, scales_inline=inline,
@@ -342,7 +430,7 @@ class BatchPipeline:
             check = None
             if with_ocr:
                 check = tuple(int(v) for v in sect(i, "scales_check").view(np.uint32))
-            meta[i] = (empty, fit, (cx0, cy0), check)
+            meta[i] = (empty, fit, (y0, y1, x0, x1), (cx0, cy0), check)
 
         # Window misses: ONE batched fetch of the full bit-masks involved.
         full_bits = {}
@@ -353,18 +441,24 @@ class BatchPipeline:
 
 
         def host_stage(i: int) -> BatchResult:
-            empty, fit, (cx0, cy0), check = meta[i]
+            empty, fit, bbox, (cx0, cy0), check = meta[i]
+            # Unpack/scan only the mask bbox + margin (exact; see
+            # ops_pipeline.bbox_crop_host) — on the 1-core host the LSD
+            # stage cost tracks content area, not window area.
             if empty:
                 markers: list[Line] = []
             elif fit:
                 bits = sect(i, "lsd_crop").reshape(eff_ch, crop_row)
-                crop = ops_pipeline.unpack_bits_host(bits, eff_cw) * np.uint8(255)
-                markers = self._find_lines(crop, (cx0, cy0))
+                crop, off = ops_pipeline.bbox_crop_host(
+                    bits, bbox, (cx0, cy0), (eff_ch, eff_cw)
+                )
+                markers = self._find_lines(crop, off)
             else:
-                full = ops_pipeline.unpack_bits_host(
-                    full_bits[i].reshape(g.map_h, mask_row), g.map_w
-                ) * np.uint8(255)
-                markers = self._find_lines(full, (0, 0))
+                crop, off = ops_pipeline.bbox_crop_host(
+                    full_bits[i].reshape(g.map_h, mask_row), bbox, (0, 0),
+                    (g.map_h, g.map_w),
+                )
+                markers = self._find_lines(crop, off)
 
             l, t, r, b = (int(v) for v in sect(i, "minimap_rect").view(np.int32))
             minimap = Rect(left=l, top=t, right=r, bottom=b) if g.map_w >= 3 and g.map_h >= 3 else None
@@ -422,6 +516,7 @@ class BatchPipeline:
                 results.append(futures[i].result())
             else:
                 results.append(BatchResult(True, [], None, None))
+        self.stats["t_host_ms"] += (time.perf_counter() - t1) * 1000.0
         return results
 
     def close(self) -> None:

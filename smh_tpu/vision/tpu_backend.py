@@ -117,14 +117,43 @@ def _pack_rois_bgr(
     packed[used:] = 0
     planes = [packed[c * msz : (c + 1) * msz].reshape(mh, mw) for c in range(3)]
     bdst = packed[msz * 3 : used].reshape(bh, bw, 3)
+    _split_planes(map_roi, planes)
     if _cv2 is not None:
-        _cv2.mixChannels([map_roi], planes, (0, 0, 1, 1, 2, 2))
         _cv2.cvtColor(btn_roi, _cv2.COLOR_BGRA2BGR, dst=bdst)
     else:
-        for c in range(3):
-            planes[c][...] = map_roi[..., c]
         bdst[...] = btn_roi[..., :3]
     return packed
+
+
+_scratch_planes: dict = {}
+
+
+def _split_planes(roi: np.ndarray, planes: list) -> None:
+    """Write roi's first three channels into the three plane views.
+    cv2.split into caller views (+ a cached scratch for alpha) is the
+    fastest planarizer on this host (~1.3 ms for a 4K map ROI vs ~3.1 ms
+    mixChannels, ~4.3 ms extractChannel x3)."""
+    if _cv2 is None:
+        for c in range(3):
+            planes[c][...] = roi[..., c]
+        return
+    nch = roi.shape[2]
+    if nch == 3:
+        _cv2.split(roi, planes)
+        return
+    if nch != 4:  # unexpected layout: plain strided copies
+        for c in range(3):
+            planes[c][...] = roi[..., c]
+        return
+    # Scratch receives the (discarded) alpha plane. Concurrent packers may
+    # share one scratch — racy writes are fine, the data is never read.
+    key = roi.shape[:2]
+    scratch = _scratch_planes.get(key)
+    if scratch is None:
+        if len(_scratch_planes) > 8:
+            _scratch_planes.clear()
+        scratch = _scratch_planes[key] = np.empty(key, dtype=np.uint8)
+    _cv2.split(roi, planes + [scratch])
 
 
 def _paste_band(band_img: "np.ndarray", brq_h: int, b0: int, fill: int) -> "np.ndarray":
@@ -882,16 +911,20 @@ class TpuBackend:
         """Fused into the crop_to_map dispatch."""
 
     def mask_marker_lines(self) -> None:
-        """Fused into the crop_to_map dispatch; unpacks the windowed crop."""
+        """Fused into the crop_to_map dispatch; unpacks only the mask-bbox
+        slice of the windowed crop (exact — see ops_pipeline.bbox_crop_host)."""
         assert self._host is not None and self.geom is not None
         bits = self._host["lsd_crop_bits"]
         if bits is None:  # empty mask: no white pixels anywhere
             self._lsd_crop_host = np.zeros((0, 0), dtype=np.uint8)
             self._lsd_offset = (0, 0)
             return
-        ch, cw = self._host["lsd_crop_shape"]
-        self._lsd_crop_host = ops_pipeline.unpack_bits_host(bits, cw) * np.uint8(255)
-        self._lsd_offset = self._host["lsd_offset"]
+        self._lsd_crop_host, self._lsd_offset = ops_pipeline.bbox_crop_host(
+            bits,
+            self._host["lsd_bbox"],
+            self._host["lsd_offset"],
+            self._host["lsd_crop_shape"],
+        )
 
     def _full_mask_host(self) -> np.ndarray:
         """Full-size 0/255 host mask (debug views, device-march seed scan)."""

@@ -143,3 +143,56 @@ def test_batch_with_scales():
     bp = BatchPipeline(1280, 720, batch=2, ocr_engine=ocr)
     results = bp.process(frames)
     assert results[0].meters_to_px_ratio == pytest.approx(300 / 118)
+
+
+def test_stream_matches_sequential_process():
+    """stream() (submit worker thread ‖ collect caller thread) yields the
+    same results, in order, as sequential process() over the same batches —
+    including an intact cross-batch delta chain."""
+    seq = [
+        testing.make_frame(
+            1280, 720,
+            marker_lines=[((100 + 6 * i, 100 + 2 * i), (420 + 6 * i, 300))],
+            scale_bars=[(60, 200, 120, 1)],
+        )
+        for i in range(12)
+    ]
+    batches = [seq[s : s + 4] for s in range(0, len(seq), 4)]
+
+    bp_seq = BatchPipeline(1280, 720, batch=4, ocr_engine=None)
+    expect = [bp_seq.process(b) for b in batches]
+    seq_stats = dict(bp_seq.stats)
+    bp_seq.close()
+
+    bp_str = BatchPipeline(1280, 720, batch=4, ocr_engine=None)
+    got = list(bp_str.stream(iter(batches)))
+    str_stats = dict(bp_str.stats)
+    bp_str.close()
+
+    assert len(got) == len(expect)
+    assert str_stats["delta_batches"] == seq_stats["delta_batches"]
+    for bi, (ea, ga) in enumerate(zip(expect, got)):
+        for fi, (a, b) in enumerate(zip(ea, ga)):
+            assert a.sleeping == b.sleeping, f"batch {bi} frame {fi}"
+            assert [
+                ((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in a.markers
+            ] == [
+                ((l.p0.x, l.p0.y), (l.p1.x, l.p1.y)) for l in b.markers
+            ], f"batch {bi} frame {fi}"
+
+
+def test_stream_propagates_source_errors():
+    class Boom(Exception):
+        pass
+
+    def batches():
+        yield [testing.make_frame(1280, 720, marker_lines=[((100, 100), (420, 300))])]
+        raise Boom()
+
+    bp = BatchPipeline(1280, 720, batch=4, ocr_engine=None)
+    it = bp.stream(batches())
+    first = next(it)
+    assert len(first) == 1 and first[0].markers
+    with pytest.raises(Boom):
+        list(it)
+    bp.close()
