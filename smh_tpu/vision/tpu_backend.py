@@ -78,10 +78,16 @@ _DELTA_CHUNK = 128  # bytes per chunk (one VPU lane row; measured sweet spot:
 # 1 KB chunks, while the u64-view host diff stays ~6 ms)
 _DELTA_MIN_BYTES = 1 << 20  # below this a full upload is already cheap
 _DELTA_MAX_FRACTION = 0.5  # more change than this -> full upload (panning)
-# Chunk-count buckets (x2 ladder): each bucket is its own jit trace, so the
-# ladder trades upload padding (<=2x) for a bounded compile count (only the
-# 1-2 buckets a scene actually visits ever compile).
-_DELTA_BUCKETS = tuple(16 << i for i in range(14))
+# Chunk-count buckets: each bucket is its own jit trace, so the ladder
+# trades upload padding for a bounded compile count (only the 1-2 buckets a
+# scene actually visits ever compile). x2 steps below 512 chunks (64 KB —
+# padding there is cheap); 1.5x-spaced intermediates above, where the
+# planar layout's 3-plane chunk spread parks video workloads just over
+# power-of-2 edges (measured: ~1.1 K changed chunks rode the 2048 bucket,
+# 270 KB/frame; 1536 carries the same frames at 203 KB).
+_DELTA_BUCKETS = tuple(
+    sorted({16 << i for i in range(14)} | {48 << i for i in range(4, 13)})
+)
 
 
 def _delta_bucket(n: int, n_chunks: int) -> Optional[int]:
