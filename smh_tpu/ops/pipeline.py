@@ -171,11 +171,15 @@ def bbox_crop_host(
     r0 = max(0, y0 - oy - m)
     r1 = min(ch, y1 - oy + m)
     # Byte-aligned column slice: bits past x1+margin inside the last byte
-    # are zero (no mask pixels there), so whole bytes are safe to keep.
+    # are zero (no mask pixels there), so whole bytes are safe to keep —
+    # but the unpacked width must still be trimmed to the logical plane
+    # width (map widths are rarely byte-aligned; a crop overhanging the
+    # plane breaks canvas-paste consumers).
     b0 = max(0, x0 - ox - m) // 8
     b1 = min((cw + 7) // 8, (x1 - ox + m + 7) // 8)
     sub = np.ascontiguousarray(bits[r0:r1, b0:b1])
-    crop = np.unpackbits(sub, axis=1) * np.uint8(255)
+    wlim = min(b1 * 8, cw) - b0 * 8
+    crop = np.unpackbits(sub, axis=1)[:, :wlim] * np.uint8(255)
     return crop, (ox + b0 * 8, oy + r0)
 
 

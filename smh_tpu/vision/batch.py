@@ -105,13 +105,15 @@ class BatchPipeline:
         # the _mirror copy do); a full upload hands rois to device_put,
         # which reads host memory lazily, so that buffer is dropped.
         self._rois_buf: Optional[np.ndarray] = None
-        self._uncollected = 0  # submitted-but-not-collected batches
-        self._uncollected_lock = threading.Lock()  # stream(): 2 threads
         # Materialization tracking: _fetched_seq = highest submit seq whose
         # hostpack fetch has completed (program done => the chain tail
-        # resident is materialized) — lets a pipelined submit skip the
-        # 1-byte tail poke (~1 relay command) when the collector already
-        # proved the previous program finished.
+        # resident is materialized). `_fetched_seq < _seq` means a previous
+        # program may still be un-materialized: the delta submit then pays
+        # the 1-byte tail poke; when the collector already proved the
+        # previous program finished, the barrier is free. (This is the
+        # barrier condition itself — NOT an uncollected-count: a count
+        # decremented before the fetch completes would open a window where
+        # a concurrent submit skips the barrier entirely.)
         self._seq = 0
         self._fetched_seq = 0
         self._fetch_lock = threading.Lock()
@@ -242,31 +244,65 @@ class BatchPipeline:
         IO/CPU overlap: the fetch's relay wait and the submit's chain-tail
         poke run under released GILs while the other thread does CPU work.
         `depth` bounds in-flight batches (submit order = chain order is
-        preserved by the single worker; results yield in the same order)."""
+        preserved by the single worker; results yield in the same order).
+        Abandoning the generator early (break / exception / close) is safe:
+        the submitter stops at the next batch boundary and every job it
+        already dispatched is collected (not yielded) so no device program
+        is left un-fetched and the materialization tracking stays exact."""
         import queue
 
         jobs: queue.Queue = queue.Queue(maxsize=max(1, depth))
         done = object()
+        stop = threading.Event()
 
         def submitter() -> None:
             try:
                 for fr in batches:
-                    jobs.put(self.submit(fr))
+                    if stop.is_set():
+                        break
+                    job = self.submit(fr)
+                    # Blocking put with a stop check: when the consumer
+                    # abandoned the generator it drains the queue in its
+                    # finally block, so this always makes progress.
+                    while True:
+                        try:
+                            jobs.put(job, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
             except BaseException as e:  # propagate into the consumer
                 jobs.put(("__stream_err__", e))
             else:
                 jobs.put(done)
 
+        def drain_one(block: bool) -> bool:
+            try:
+                j = jobs.get(timeout=0.05) if block else jobs.get_nowait()
+            except queue.Empty:
+                return False
+            if j is not done and not (
+                isinstance(j, tuple) and j and j[0] == "__stream_err__"
+            ):
+                self.collect(j)
+            return True
+
         t = threading.Thread(target=submitter, daemon=True, name="batch-submit")
         t.start()
-        while True:
-            j = jobs.get()
-            if j is done:
-                break
-            if isinstance(j, tuple) and j and j[0] == "__stream_err__":
-                raise j[1]
-            yield self.collect(j)
-        t.join()
+        try:
+            while True:
+                j = jobs.get()
+                if j is done:
+                    break
+                if isinstance(j, tuple) and j and j[0] == "__stream_err__":
+                    raise j[1]
+                yield self.collect(j)
+        finally:
+            stop.set()
+            while t.is_alive():
+                drain_one(block=True)
+                t.join(timeout=0.05)
+            while drain_one(block=False):
+                pass
 
     def submit(self, frames: list[np.ndarray]) -> dict:
         """Pack + diff + dispatch a batch WITHOUT waiting for results.
@@ -334,19 +370,18 @@ class BatchPipeline:
         self.stats["t_diff_ms"] += (t2 - t1) * 1000.0
         if upd is not None:
             buf, bucket = upd
-            if self._uncollected:
-                # Pipelined delta chains must not dispatch against an
-                # unmaterialized resident: scan-over-scan dependency chains
-                # stall this relay for ~80 s at depth 4 (measured; full
-                # uploads don't). Barrier = the previous program finished.
-                # If the collector already fetched the previous hostpack
-                # (all outputs of a program materialize together) the
-                # barrier is free; otherwise pay a 1-byte fetch of the
-                # chain tail (~1 relay command). Never WAIT on the
-                # collector: dispatching early lets the device start while
-                # the hostpack D2H is still streaming (measured faster).
-                if self._fetched_seq < self._seq:
-                    np.asarray(self._resident[:1])
+            # Pipelined delta chains must not dispatch against an
+            # unmaterialized resident: scan-over-scan dependency chains
+            # stall this relay for ~80 s at depth 4 (measured; full
+            # uploads don't). Barrier = the previous program finished.
+            # If the collector already fetched the previous hostpack
+            # (all outputs of a program materialize together) the
+            # barrier is free; otherwise pay a 1-byte fetch of the
+            # chain tail (~1 relay command). Never WAIT on the
+            # collector: dispatching early lets the device start while
+            # the hostpack D2H is still streaming (measured faster).
+            if self._fetched_seq < self._seq:
+                np.asarray(self._resident[:1])
             t3 = time.perf_counter()
             self.stats["t_poke_ms"] += (t3 - t2) * 1000.0
             out = dict(ops_pipeline._analyze_batch_delta(
@@ -373,8 +408,6 @@ class BatchPipeline:
         # Copy: a row view would keep the whole packed batch (~80 MB at 4K,
         # B=8) alive in host RAM until the next submit replaces it.
         self._mirror = rois[n - 1].copy()
-        with self._uncollected_lock:
-            self._uncollected += 1
         self._seq += 1
         return {
             "out": out, "n": n, "inline": inline, "with_ocr": with_ocr,
@@ -383,8 +416,6 @@ class BatchPipeline:
 
     def collect(self, job: dict) -> list[BatchResult]:
         """Fetch + host stages for a submitted batch (blocks on the device)."""
-        with self._uncollected_lock:
-            self._uncollected = max(0, self._uncollected - 1)
         g = self.geom
         out = job["out"]
         n = job["n"]

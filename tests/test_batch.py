@@ -1,3 +1,5 @@
+import time
+
 import numpy as np
 import pytest
 
@@ -195,4 +197,35 @@ def test_stream_propagates_source_errors():
     assert len(first) == 1 and first[0].markers
     with pytest.raises(Boom):
         list(it)
+    bp.close()
+
+
+def test_stream_abandoned_early_collects_in_flight():
+    """Breaking out of stream() must not leak the submitter thread or leave
+    dispatched batches un-collected (materialization tracking stays exact:
+    a later sequential submit sees a fully-fetched chain)."""
+    import threading as _threading
+
+    seq = [
+        testing.make_frame(
+            1280, 720,
+            marker_lines=[((100 + 6 * i, 100 + 2 * i), (420 + 6 * i, 300))],
+        )
+        for i in range(16)
+    ]
+    batches = [seq[s : s + 4] for s in range(0, len(seq), 4)]
+    bp = BatchPipeline(1280, 720, batch=4, ocr_engine=None)
+    n_before = _threading.active_count()
+    for rs in bp.stream(iter(batches), depth=2):
+        assert rs[0].markers
+        break  # abandon after the first yield
+    # Submitter thread gone, every dispatched job collected.
+    deadline = time.time() + 5
+    while _threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert not any(t.name == "batch-submit" for t in _threading.enumerate())
+    assert bp._fetched_seq == bp._seq, "in-flight job left un-fetched"
+    # The pipeline stays usable sequentially afterwards.
+    tail = bp.process(seq[-4:])
+    assert all(r.markers for r in tail)
     bp.close()

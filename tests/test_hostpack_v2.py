@@ -376,3 +376,26 @@ def test_fake_engine_disables_band_transport():
     assert r is not None and r.meters_to_px_ratio is not None
     assert be._dispatch_flags[7] is None  # no band: canned bboxes roam free
     state.close()
+
+
+def test_bbox_crop_host_right_edge_stays_within_plane():
+    """Mask pixels near the right edge of a non-byte-aligned plane: the
+    byte-aligned crop must be trimmed to the logical width (a crop
+    overhanging the plane breaks canvas-paste consumers; review round 3)."""
+    import numpy as np
+
+    from smh_tpu.ops import pipeline as ops_pipeline
+
+    ch, cw = 60, 493  # non-multiple of 8, like real map widths
+    mask = np.zeros((ch, cw), dtype=np.uint8)
+    mask[20:40, cw - 6 : cw] = 1  # content 6 px from the right edge
+    bits = np.packbits(mask, axis=1)
+    bbox = (20, 40, cw - 6, cw)  # absolute, end-exclusive; origin (0, 0)
+    crop, (ox, oy) = ops_pipeline.bbox_crop_host(bits, bbox, (0, 0), (ch, cw))
+    assert ox + crop.shape[1] <= cw and oy + crop.shape[0] <= ch
+    # Crop content equals the same slice of the full unpack.
+    full = np.unpackbits(bits, axis=1)[:, :cw] * np.uint8(255)
+    ref = full[oy : oy + crop.shape[0], ox : ox + crop.shape[1]]
+    assert np.array_equal(crop, ref)
+    # All mask pixels are inside the crop with margin context.
+    assert crop.any()
