@@ -79,7 +79,7 @@ class App:
             collect_debug_overlays=debug_web,
             scales_async=scales_async and not debug_web,
         )
-        self.paks = paks or []
+        self.paks = paks or []  # CLI override; see _effective_paks()
         self.aes = aes
         self.ripper_exe = ripper_exe
         self.cache_dir = cache_dir
@@ -225,6 +225,27 @@ class App:
 
     # -- heightmap browser HTTP API (src/ui/heightmaps.rs:254-321,413-792) ----
 
+    def _effective_paks(self) -> list:
+        """Pak dirs for the heightmap browser: CLI --paks wins; otherwise the
+        persisted squad_dir setting is scanned (workshop paks + the game's
+        Paks dir) — so /api/settings/set squad_dir actually takes effect,
+        like the reference's SQUAD_DIR setting (src/ui/heightmaps.rs:26-64)."""
+        if self.paks:
+            return self.paks
+        sd = self.settings.squad_dir()
+        if sd:
+            from .heightmaps import ripper as _ripper
+
+            p = pathlib.Path(sd)
+            cand = _ripper.find_workshop_paks(p) + [
+                str(p / "SquadGame" / "Content" / "Paks")
+            ]
+            return [d for d in cand if pathlib.Path(d).is_dir()]
+        return []
+
+    def _effective_aes(self):
+        return self.aes or self.settings.squad_pak_aes()
+
     def _api(self, path: str, query: dict) -> tuple[int, object]:
         import pathlib
 
@@ -239,18 +260,19 @@ class App:
                 "fit_to_minimap": self.fit_to_minimap,
                 "clients": self.web.num_clients() if self.web else 0,
                 "backend": backend.name if backend else None,
-                "paks_configured": bool(self.paks),
+                "paks_configured": bool(self._effective_paks()),
             }
         if path == "/api/heightmaps/cached":
             d = pathlib.Path(self.cache_dir)
             files = sorted(p.name for p in d.glob("*.smhhm")) if d.is_dir() else []
             return 200, {"files": files}
         if path == "/api/heightmaps/layers":
-            if not self.paks:
-                return 400, {"error": "no --paks configured"}
+            paks = self._effective_paks()
+            if not paks:
+                return 400, {"error": "no paks configured (--paks or the squad_dir setting)"}
             exe = self.ripper_exe or ripper.DEFAULT_EXE
             try:
-                layers = ripper.list_maps(self.paks, self.aes, exe=exe)
+                layers = ripper.list_maps(paks, self._effective_aes(), exe=exe)
             except Exception as e:
                 return 500, {"error": str(e)}
             return 200, {"layers": layers}
@@ -264,12 +286,14 @@ class App:
                     return 404, {"error": f"{fname} not cached"}
                 hm = hms.load_smhhm(fp)
             elif layer:
-                if not self.paks:
-                    return 400, {"error": "no --paks configured"}
+                paks = self._effective_paks()
+                if not paks:
+                    return 400, {"error": "no paks configured (--paks or the squad_dir setting)"}
                 exe = self.ripper_exe or ripper.DEFAULT_EXE
                 try:
                     hm = browser.load_or_rip(
-                        layer, self.paks, self.aes, cache_dir=self.cache_dir, exe=exe
+                        layer, paks, self._effective_aes(),
+                        cache_dir=self.cache_dir, exe=exe,
                     )
                 except Exception as e:
                     return 500, {"error": str(e)}
@@ -293,6 +317,7 @@ class App:
                 since = int(query.get("since", "0"))
             except ValueError:
                 since = 0
+            ents, seq, errors = self.ringlog.snapshot(since=since)
             entries = [
                 {
                     "seq": e.seq,
@@ -301,13 +326,9 @@ class App:
                     "message": e.message,
                     "count": e.count,
                 }
-                for e in self.ringlog.entries(since=since)
+                for e in ents
             ]
-            return 200, {
-                "entries": entries,
-                "seq": self.ringlog.seq,
-                "errors": self.ringlog.errors,
-            }
+            return 200, {"entries": entries, "seq": seq, "errors": errors}
         if path == "/api/settings":
             # Runtime settings surface (reference settings UI,
             # src/settings.rs:30-142): read everything; paused rides along

@@ -82,17 +82,24 @@ bool load_traineddata(Api* api, const char* datapath, const char* lang) {
   api->threshold = hdr[3];
   uint32_t n = hdr[4];
   api->templates.clear();
+  bool truncated = false;
   for (uint32_t i = 0; i < n; i++) {
     uint8_t ch;
-    if (std::fread(&ch, 1, 1, f) != 1) break;
+    if (std::fread(&ch, 1, 1, f) != 1) { truncated = true; break; }
     Template t;
     t.ch = (char)ch;
     t.data.resize((size_t)api->gw * api->gh);
-    if (std::fread(t.data.data(), 4, t.data.size(), f) != t.data.size()) break;
+    if (std::fread(t.data.data(), 4, t.data.size(), f) != t.data.size()) {
+      truncated = true;
+      break;
+    }
     api->templates.push_back(std::move(t));
   }
   std::fclose(f);
-  return !api->templates.empty();
+  // A traineddata cut off mid-template must fail init (real Tesseract
+  // rejects corrupt models); accepting a partial set would silently
+  // misclassify every glyph whose template is missing.
+  return !truncated && !api->templates.empty();
 }
 
 // Bilinear resize of a float mask to gw x gh, then zero-mean unit-norm —

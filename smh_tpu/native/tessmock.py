@@ -35,5 +35,12 @@ def lib_path() -> Optional[pathlib.Path]:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             return _SO
         except (subprocess.CalledProcessError, subprocess.TimeoutExpired, FileNotFoundError) as e:
+            # Git does not preserve mtimes: a fresh clone can leave the
+            # source newer than a perfectly good committed .so. On hosts
+            # without a toolchain, prefer the stale-but-present library to
+            # no library at all.
+            if _SO.exists():
+                log.warning("smhtess rebuild failed (%s); using existing %s", e, _SO)
+                return _SO
             log.warning("smhtess build failed: %s", e)
             return None

@@ -16,13 +16,15 @@ of the map ROI in one VMEM round trip. Grid tiles are (256, 512) aligned to
 the u8 (32, 128) layout; ragged edges are handled by Pallas block padding
 (reads of the pad region are computed and discarded on write-back).
 
-Enable with SMH_USE_PALLAS=1 (TPU only); tests exercise interpret mode.
+ON by default for TPU dispatches since round 3 (validated bit-identical and
+~19% faster on a real v5e); SMH_USE_PALLAS=0 opts out. Routing is decided
+by ops.pipeline.pallas_mode() — the single source of truth; tests exercise
+interpret mode on CPU.
 """
 
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -121,10 +123,6 @@ def classify_luma_pallas_planes(
         interpret=interpret,
     )(r8, g8, b8)
     return marker, luma
-
-
-def use_pallas() -> bool:
-    return os.environ.get("SMH_USE_PALLAS", "0") == "1"
 
 
 # ---------------------------------------------------------------------------

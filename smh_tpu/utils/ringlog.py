@@ -52,9 +52,25 @@ class RingLogHandler(logging.Handler):
                 )
 
     def entries(self, since: int = 0) -> list[LogEntry]:
-        """Entries whose seq is past `since` (0 = everything retained)."""
+        """SNAPSHOT of entries whose seq is past `since` (0 = everything
+        retained). Copies under the lock: the ring's LogEntry objects are
+        mutated in place by the repeat collapse, so handing out the live
+        instances would let readers see torn count/ts/seq combinations."""
         with self._lock2:
-            return [e for e in self._entries if e.seq > since]
+            return [
+                dataclasses.replace(e) for e in self._entries if e.seq > since
+            ]
+
+    def snapshot(self, since: int = 0) -> tuple[list[LogEntry], int, int]:
+        """(entries-past-since, seq, errors) read atomically — a poller that
+        reads the three under separate lock acquisitions can pair a new
+        cursor with old entries and permanently skip a collapsed repeat."""
+        with self._lock2:
+            return (
+                [dataclasses.replace(e) for e in self._entries if e.seq > since],
+                self._seq,
+                self._errors,
+            )
 
     @property
     def seq(self) -> int:
@@ -83,9 +99,19 @@ class CollapsingFileHandler(logging.Handler):
     instead of appending duplicates (/root/reference/src/ui/logs.rs:58-144).
     """
 
-    def __init__(self, path: str, mode: str = "w") -> None:
+    def __init__(self, path: str) -> None:
+        """Preserves prior sessions' content like logging.FileHandler's
+        default append mode — but POSIX append mode forces every write to
+        EOF, which would break the seek-back rewrite, so an existing file
+        is opened 'r+' and positioned at the end instead."""
         super().__init__()
-        self._stream = open(path, mode)
+        import os
+
+        if os.path.exists(path):
+            self._stream = open(path, "r+")
+            self._stream.seek(0, 2)  # end
+        else:
+            self._stream = open(path, "w")
         self._lock2 = threading.Lock()
         self._last_msg: Optional[str] = None
         self._last_level: Optional[int] = None
@@ -97,21 +123,27 @@ class CollapsingFileHandler(logging.Handler):
             msg = self.format(record)
         except Exception:
             return
-        with self._lock2:
-            if msg == self._last_msg and record.levelno == self._last_level:
-                # Seek back over the previous line and rewrite it with the
-                # bumped count (logs.rs:93-144).
-                self._count += 1
-                self._stream.seek(self._last_pos)
-                self._stream.truncate()
-                self._stream.write(f"{msg} (x{self._count})\n")
-            else:
-                self._last_pos = self._stream.tell()
-                self._last_msg = msg
-                self._last_level = record.levelno
-                self._count = 1
-                self._stream.write(msg + "\n")
-            self._stream.flush()
+        try:
+            with self._lock2:
+                if msg == self._last_msg and record.levelno == self._last_level:
+                    # Seek back over the previous line and rewrite it with
+                    # the bumped count (logs.rs:93-144).
+                    self._count += 1
+                    self._stream.seek(self._last_pos)
+                    self._stream.truncate()
+                    self._stream.write(f"{msg} (x{self._count})\n")
+                else:
+                    self._last_pos = self._stream.tell()
+                    self._last_msg = msg
+                    self._last_level = record.levelno
+                    self._count = 1
+                    self._stream.write(msg + "\n")
+                self._stream.flush()
+        except Exception:
+            # stdlib handler contract: stream failures (disk full, closed
+            # stream during shutdown) must not propagate into the caller
+            # that happened to log.
+            self.handleError(record)
 
     def close(self) -> None:
         with self._lock2:

@@ -464,10 +464,16 @@ class VisionState:
         elif "device" in job:
             # Device-read scales: already decoded from this frame's hostpack —
             # consume inline (cheaper than a worker handoff, no fetch at all).
+            if "count" in job:
+                job["count"]("device_scales_frames")
             _words, ratio = job["device"]
             self._scales_cache = (key, ratio)
             self._last_ratio = ratio
         elif self._scales_future is None:
+            if job.get("had_records"):
+                # Records existed but were not serveable: the engine path
+                # this worker runs is the device-scales fallback.
+                job["count"]("device_scales_fallbacks")
             engine = self.ocr_engine
 
             def work():

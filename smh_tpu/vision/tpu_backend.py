@@ -877,13 +877,6 @@ class TpuBackend:
         records_serve = records is not None and (
             records.complete or records_ratio is not None
         )
-        # Telemetry parity with the sync path (device_scales): the async
-        # consumer never calls device_scales, so count here.
-        if records is not None:
-            if records_serve:
-                stats["device_scales_frames"] += 1
-            else:
-                stats["device_scales_fallbacks"] += 1
         needs_fallback = band == "miss" or not (
             textless or has_inline or records_serve
         )
@@ -905,6 +898,12 @@ class TpuBackend:
             return ocr_img, scales_img
 
         job = {"check": host["scales_check"], "fetch": fetch}
+        if records is not None:
+            # Telemetry parity with the sync path (device_scales counts on
+            # checksum-cache MISS only): the consumer calls `count` when it
+            # actually consumes the job, not on every snapshot.
+            job["count"] = lambda key: stats.__setitem__(key, stats[key] + 1)
+            job["had_records"] = True
         if records_serve:
             # Fully-device read: the async step consumes it inline (no
             # worker, no fetch) — ratio=None here is a clean "no scales".
