@@ -199,7 +199,10 @@ def measure_pipelined_fps(w: int, h: int, seconds: float) -> float:
         with lock:
             n_updates[0] += 1
 
-    cap = CaptureThread(Cycle(), hz=1000).start()
+    # hz=60: enough to never starve the loop (it runs ~15-25 fps), without
+    # the capture thread's per-grab crc32 (~12 ms at 4K) monopolizing the
+    # 1-core host the way an uncapped 1000 Hz grab loop does.
+    cap = CaptureThread(Cycle(), hz=60).start()
     loop = VisionLoop(state, cap, on_update, fps=1000, pipelined=True).start()
     deadline = time.time() + 300
     while n_updates[0] < 3 and time.time() < deadline:

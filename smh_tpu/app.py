@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import pathlib
 import signal
 import threading
 from typing import Optional

@@ -357,7 +357,13 @@ class CaptureThread:
             if frame is None:
                 self._shutdown.wait(self._interval)
                 continue
-            crc = zlib.crc32(frame.image.tobytes())
+            try:
+                # Zero-copy: crc32 reads a C-contiguous ndarray through the
+                # buffer protocol (tobytes() would copy the whole frame —
+                # ~16 ms extra per 4K grab on this 1-core host).
+                crc = zlib.crc32(frame.image)
+            except (ValueError, BufferError, TypeError):
+                crc = zlib.crc32(frame.image.tobytes())
             if crc == self._last_crc:
                 self._shutdown.wait(self._interval)
                 continue

@@ -313,3 +313,49 @@ def test_debug_view_endpoint(demo_app):
     assert png is not None, "debug view never materialized"
     img = Image.open(io.BytesIO(png))
     assert img.size[0] > 10 and img.size[1] > 10
+
+
+def test_squad_dir_setting_feeds_pak_discovery(tmp_path):
+    """The persisted squad_dir setting must actually drive the heightmap
+    browser when --paks is absent (reference SQUAD_DIR semantics,
+    src/ui/heightmaps.rs:26-64): _effective_paks scans workshop paks + the
+    game Paks dir under it, and CLI --paks wins when present."""
+    from smh_tpu.app import App
+    from smh_tpu.ocr import FakeOcrEngine
+    from smh_tpu.settings import Settings
+    from smh_tpu import testing
+    from smh_tpu.squadex.capture import StaticSource
+
+    # <lib>/steamapps/common/Squad layout with a game Paks dir and one
+    # workshop pak.
+    squad = tmp_path / "steamapps" / "common" / "Squad"
+    game_paks = squad / "SquadGame" / "Content" / "Paks"
+    game_paks.mkdir(parents=True)
+    ws = tmp_path / "steamapps" / "workshop" / "content" / "393380" / "123" / "WindowsNoEditor"
+    ws.mkdir(parents=True)
+    (ws / "mod.pak").write_bytes(b"")
+
+    frame = testing.make_frame(640, 360, with_button=False)
+    settings = Settings(path=None)
+    app = App(
+        StaticSource(frame, dpi=96),
+        settings=settings,
+        serve=False,
+        ocr_engine=FakeOcrEngine([]),
+        cache_dir=str(tmp_path / "hmcache"),
+    )
+    assert app._effective_paks() == []
+
+    settings.set("squad_dir", str(squad))
+    paks = app._effective_paks()
+    assert str(game_paks) in paks
+    assert any("WindowsNoEditor" in p for p in paks)
+    code, st = app._api("/api/status", {})
+    assert st["paks_configured"] is True
+
+    settings.set("squad_pak_aes", "0xDEAD")
+    assert app._effective_aes() == "0xDEAD"
+
+    # CLI --paks overrides the setting.
+    app.paks = ["/explicit/paks"]
+    assert app._effective_paks() == ["/explicit/paks"]
