@@ -588,8 +588,19 @@ def main(argv=None) -> int:
     if args.fit_to_minimap:
         app.set_fit_to_minimap(True)
 
+    # Escalating Ctrl+C like the reference (src/main.rs:93-99): the first
+    # requests a clean shutdown, the third force-exits (a hung device call
+    # or stuck thread must not make the process unkillable).
+    sigint_count = [0]
+
     def handle_sigint(signum, frame):
-        log.info("shutting down...")
+        sigint_count[0] += 1
+        if sigint_count[0] >= 3:
+            log.error("third interrupt: force exit")
+            import os as _os
+
+            _os._exit(130)
+        log.info("shutting down... (Ctrl+C x%d; 3rd force-exits)", sigint_count[0])
         app._shutdown.set()
 
     signal.signal(signal.SIGINT, handle_sigint)

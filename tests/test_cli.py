@@ -102,3 +102,48 @@ def test_cli_screen_source_fails_cleanly_headless(tmp_path):
         pytest.skip("a display is available: --screen started successfully")
     assert r.returncode != 0
     assert "screen capture" in (r.stderr + r.stdout)
+
+
+def test_analyze_video_main_stream(tmp_path, monkeypatch, capsys):
+    """Drive tools/analyze_video.py's main() end-to-end over a synthesized
+    recording (in-process: the CPU test platform must be inherited — a
+    subprocess would initialize the real TPU backend)."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from smh_tpu import testing
+
+    w, h = 1280, 720
+    path = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (w, h))
+    assert writer.isOpened()
+    for i in range(5):
+        bgra = testing.make_frame(
+            w, h, marker_lines=[((100 + 5 * i, 100), (420, 300))],
+            scale_bars=[(60, 200, 120, 1)],
+        )
+        writer.write(np.ascontiguousarray(bgra[..., :3]))
+    writer.release()
+
+    import importlib
+    import json as _json
+    import sys as _sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    _sys.path.insert(0, str(root / "tools"))
+    try:
+        av = importlib.import_module("analyze_video")
+        monkeypatch.setattr(
+            _sys, "argv",
+            ["analyze_video.py", path, "--batch", "2", "--ocr", "none", "--limit", "4"],
+        )
+        rc = av.main()
+    finally:
+        _sys.path.remove(str(root / "tools"))
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rows = [_json.loads(l) for l in out]
+    assert len(rows) == 4
+    assert all(not r["sleeping"] and r["markers"] for r in rows)

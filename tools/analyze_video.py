@@ -37,11 +37,8 @@ def main() -> int:
     src = VideoSource(args.video, step=args.step)
     engine = tesseract.create_default_engine() if args.ocr == "auto" else None
 
-    bp = None
     n = 0
     emitted = 0
-    pending = []
-    in_flight = None  # previous batch's job: collected while the next decodes
     t0 = time.time()
 
     def emit(results):
@@ -60,35 +57,39 @@ def main() -> int:
             print(json.dumps(out), flush=True)
             emitted += 1
 
-    def flush():
-        """Pipelined: submit this batch, then collect the PREVIOUS one —
-        the device chews the new batch while the host handles the old."""
-        nonlocal bp, n, in_flight
-        if not pending:
-            return
-        if bp is None:
-            h, w = pending[0].shape[:2]
-            bp = BatchPipeline(w, h, batch=args.batch, ocr_engine=engine)
-        job = bp.submit(pending)
-        n += len(pending)
-        if in_flight is not None:
-            emit(bp.collect(in_flight))
-        in_flight = job
-        pending.clear()
+    frames = src.iter_frames()
+    try:
+        first = next(frames)
+    except StopIteration:
+        src.close()
+        print("no frames decoded", file=sys.stderr)
+        return 1
+    h, w = first.shape[:2]
+    bp = BatchPipeline(w, h, batch=args.batch, ocr_engine=engine)
 
-    for img in src.iter_frames():
-        if args.limit and n + len(pending) >= args.limit:
-            break
-        pending.append(img)
-        if len(pending) == args.batch:
-            flush()
-    if args.limit:
-        pending[:] = pending[: max(0, args.limit - n)]
-    flush()
-    if in_flight is not None:
-        emit(bp.collect(in_flight))
-    src.close()
-    if bp is not None:
+    def batches():
+        """Decode into batch-sized groups. Runs on stream()'s submitter
+        thread, so decode + pack + diff of batch N+1 overlap the collect
+        (fetch + host stages) of batch N on the main thread."""
+        nonlocal n
+        pending = [first]
+        n = 1
+        for img in frames:
+            if args.limit and n >= args.limit:
+                break
+            pending.append(img)
+            n += 1
+            if len(pending) == args.batch:
+                yield pending
+                pending = []
+        if pending:
+            yield pending
+
+    try:
+        for results in bp.stream(batches()):
+            emit(results)
+    finally:
+        src.close()
         bp.close()
     dt = time.time() - t0
     print(f"analyzed {n} frames in {dt:.1f}s ({n/max(dt,1e-9):.1f} fps)", file=sys.stderr)
