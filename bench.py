@@ -374,9 +374,13 @@ def main() -> None:
 
     g = C.map_geometry(w, h)
     with_ocr, with_quiet, _, crop_h, crop_w, _, inline, band = backend._dispatch_flags[:8]
+    sparse = (
+        backend._dispatch_flags[9] if len(backend._dispatch_flags) > 9 else None
+    )
     layout = ops_pipeline.hostpack_layout(
         g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=with_quiet,
         crop_h=crop_h, crop_w=crop_w, scales_inline=inline, scales_band=band,
+        sparse_budget=sparse,
     )
     hostpack_bytes = layout["__total__"]
     scalespack_bytes = ops_pipeline.scalespack_layout(g.map_h, g.map_w)["__total__"]
@@ -416,6 +420,8 @@ def main() -> None:
         "hostpack_bytes": hostpack_bytes,
         "scalespack_bytes": scalespack_bytes,
         "lsd_window_misses": stats.get("lsd_window_misses"),
+        "lsd_sparse_misses": stats.get("lsd_sparse_misses"),
+        "sparse_budget_words": sparse,
         "scales_band_misses": stats.get("scales_band_misses"),
         "scalespack_fetches": stats.get("scalespack_fetches"),
         "frames_measured": stats.get("frames"),

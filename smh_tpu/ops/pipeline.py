@@ -21,17 +21,22 @@ Hostpack v2 — the critical-path D2H payload. On this host link a D2H
 transfer costs ~25 ms of latency plus ~20 MB/s of bandwidth, so the per-frame
 fetch carries only what the markers path needs:
 
-  * the LSD mask travels as a *windowed crop*: the device computes the
-    dilated marker mask's bounding box (masked cumulative-AND reductions —
-    no argmax, which lowers to scalar code on this TPU) and dynamic-slices a
-    static-size window around it. Marker lines cover a small fraction of the
-    map in live play, so this cuts the dominant section 4-16x. The window
-    carries LSD_CROP_MARGIN >= max_gap + centre-snap px of black context, so
-    running the seed scan + ray march on the crop is *exactly* equivalent to
-    running it on the full mask (rays die on max_gap+1 background samples
-    before they can reach the window edge). If the bbox outgrows the window,
-    the host detects it from the bbox in the pack and falls back to fetching
-    the full bit-mask (kept device-resident), then re-buckets.
+  * the LSD mask travels SPARSE (default, round 3+): the device compacts the
+    nonzero u32 words of the bit-packed plane with a prefix-sum scatter
+    (~25 us at 4K) and the pack carries indices + words under a static
+    budget — ~5 KB for a real 4K marker mask. Reconstruction is the full
+    plane bit-for-bit, so detection is exactly the full-mask computation.
+    nz > budget is a detected miss: the host falls back to fetching the full
+    bit-mask (kept device-resident) and escalates the budget rung.
+  * SMH_SPARSE=0 reverts to the round-2 *windowed crop*: the device computes
+    the dilated marker mask's bounding box (masked cumulative-AND reductions
+    — no argmax, which lowers to scalar code on this TPU) and dynamic-slices
+    a static-size window around it. The window carries LSD_CROP_MARGIN >=
+    max_gap + centre-snap px of black context, so running the seed scan +
+    ray march on the crop is *exactly* equivalent to running it on the full
+    mask (rays die on max_gap+1 background samples before they can reach the
+    window edge). If the bbox outgrows the window, the host detects it from
+    the bbox in the pack and falls back the same way, then re-buckets.
   * the OCR image and scales binarize move OFF the critical path entirely:
     the pack carries only their checksums; the images live in a separate
     device-resident "scalespack" the scales branch fetches only when the
@@ -181,6 +186,59 @@ def bbox_crop_host(
     wlim = min(b1 * 8, cw) - b0 * 8
     crop = np.unpackbits(sub, axis=1)[:, :wlim] * np.uint8(255)
     return crop, (ox + b0 * 8, oy + r0)
+
+
+def sparse_word_pad(bpr: int) -> int:
+    """Bit-row bytes padded up to whole u32 words (the sparse transport's
+    word grid; pad bytes are always zero so they never produce a word)."""
+    return ((bpr + 3) // 4) * 4
+
+
+def _sparse_words(bits: jnp.ndarray, budget: int):
+    """Compact the nonzero u32 words of a bit-packed u8 [h, bpr] mask plane.
+
+    Returns (nz i32 scalar = TOTAL nonzero words, idx i32 [budget] flat word
+    indices, dat u32 [budget]); slots past min(nz, budget) are zero. The
+    compaction is a prefix-sum scatter — measured 25 us for the ~139K-word
+    4K grid on a v5e, where a sort/top_k formulation costs ~1.4 ms. Word
+    indices are in the PADDED grid (sparse_word_pad columns of u8 per row)
+    so the host can reconstruct with one flat u32 scatter + byte view."""
+    h, bpr = bits.shape
+    pad = sparse_word_pad(bpr) - bpr
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    words = jax.lax.bitcast_convert_type(
+        bits.reshape(-1, 4), jnp.uint32
+    ).reshape(-1)
+    nzmask = words != jnp.uint32(0)
+    pos = jnp.cumsum(nzmask.astype(jnp.int32)) - 1
+    oidx = jnp.where(nzmask & (pos < budget), pos, budget)
+    dat = (
+        jnp.zeros((budget + 1,), jnp.uint32).at[oidx].set(words, mode="drop")[:budget]
+    )
+    idx = (
+        jnp.zeros((budget + 1,), jnp.int32)
+        .at[oidx]
+        .set(jnp.arange(words.size, dtype=jnp.int32), mode="drop")[:budget]
+    )
+    return nzmask.sum(dtype=jnp.int32), idx, dat
+
+
+def sparse_mask_host(
+    nz: int, idx: "np.ndarray", dat: "np.ndarray", map_h: int, map_w: int
+) -> "np.ndarray":
+    """Host-side inverse of _sparse_words -> bit-packed u8 [map_h, bpr]
+    plane (the same layout pack_bits emits). Exact only when nz fit the
+    budget (idx.size); the caller falls back to the full lsd_bits fetch
+    otherwise."""
+    import numpy as np
+
+    bpr = (map_w + 7) // 8
+    bpr4 = sparse_word_pad(bpr)
+    buf = np.zeros(map_h * (bpr4 // 4), dtype=np.uint32)
+    k = min(int(nz), idx.size)
+    buf[idx[:k]] = dat[:k]
+    return buf.view(np.uint8).reshape(map_h, bpr4)[:, :bpr]
 
 
 def binary_ocr_image_host(keep_bits: "np.ndarray", w: int) -> "np.ndarray":
@@ -575,6 +633,7 @@ def hostpack_layout(
     crop_w: int | None = None,
     scales_inline: str = "none",
     scales_band: int | None = None,
+    sparse_budget: int | None = None,
 ) -> dict:
     """Byte offsets of each section inside the packed buffer.
 
@@ -600,6 +659,18 @@ def hostpack_layout(
                  and ships ~1.2 KB of fixed-shape word records. The
                  scalespack stays device-resident as the capacity-overflow
                  fallback.
+
+    sparse_budget: when set, the mask travels SPARSE instead of as a window
+    crop: the fused pass compacts the nonzero u32 words of the bit-packed
+    full-map mask (prefix-sum scatter, ~25 us on a v5e at 4K) and the pack
+    carries `lsd_nz` (i32 total nonzero words) + `lsd_sp_idx` (i32 flat word
+    indices) + `lsd_sp_dat` (the u32 words) sized to the static budget. A
+    real dilated marker mask is ~600 nonzero words at 4K (~5 KB) where the
+    half-map window crop is ~150 KB — and D2H is this link's scarcest
+    resource. nz > budget is a transport miss: the host falls back to the
+    device-resident full `lsd_bits` (exact) and escalates the budget rung.
+    Reconstruction (sparse_mask_host) is exact when nz <= budget, so
+    detections are bit-identical to the full-mask path.
     """
     crop_h = map_h if crop_h is None else crop_h
     crop_w = map_w if crop_w is None else crop_w
@@ -627,7 +698,14 @@ def hostpack_layout(
             sections += [("scales_rec", _sd.REC_BYTES)]
     if with_quiet:
         sections += [("minimap_rect", 16)]
-    sections += [("lsd_crop", crop_bytes)]
+    if sparse_budget is not None:
+        sections += [
+            ("lsd_nz", 4),
+            ("lsd_sp_idx", 4 * sparse_budget),
+            ("lsd_sp_dat", 4 * sparse_budget),
+        ]
+    else:
+        sections += [("lsd_crop", crop_bytes)]
     layout = {}
     off = 0
     for name, size in sections:
@@ -673,13 +751,21 @@ def _pack_outputs(
     scales_inline: str = "none",
     with_mask_output: bool = True,
     scales_band: int | None = None,
+    sparse_budget: int | None = None,
 ) -> dict:
     map_h, map_w = out["lsd_bool"].shape
     y0, y1, x0, x1 = _mask_bbox(out["lsd_bool"])
     margin = jnp.int32(LSD_CROP_MARGIN)
-    cy0 = jnp.clip(y0 - margin, 0, map_h - crop_h)
-    cx0 = jnp.clip(x0 - margin, 0, map_w - crop_w)
-    crop = jax.lax.dynamic_slice(out["lsd_bool"], (cy0, cx0), (crop_h, crop_w))
+    if sparse_budget is not None:
+        # Sparse transport: no window — the whole (bit-packed) plane is
+        # reconstructable from the compacted nonzero words, so the crop
+        # origin is the plane origin.
+        cy0 = jnp.int32(0)
+        cx0 = jnp.int32(0)
+    else:
+        cy0 = jnp.clip(y0 - margin, 0, map_h - crop_h)
+        cx0 = jnp.clip(x0 - margin, 0, map_w - crop_w)
+        crop = jax.lax.dynamic_slice(out["lsd_bool"], (cy0, cx0), (crop_h, crop_w))
 
     red_u8 = jax.lax.bitcast_convert_type(red[None], jnp.uint8).reshape(-1)
     check_u8 = jax.lax.bitcast_convert_type(out["ui_check"], jnp.uint8).reshape(-1)
@@ -740,7 +826,15 @@ def _pack_outputs(
             else _minimap_rect(out["quiet_bool"])
         )
         parts += [jax.lax.bitcast_convert_type(rect, jnp.uint8).reshape(-1)]
-    parts += [pack_bits(crop).reshape(-1)]
+    if sparse_budget is not None:
+        nz, sp_idx, sp_dat = _sparse_words(out["lsd_bits"], sparse_budget)
+        parts += [
+            jax.lax.bitcast_convert_type(nz[None], jnp.uint8).reshape(-1),
+            jax.lax.bitcast_convert_type(sp_idx, jnp.uint8).reshape(-1),
+            jax.lax.bitcast_convert_type(sp_dat, jnp.uint8).reshape(-1),
+        ]
+    else:
+        parts += [pack_bits(crop).reshape(-1)]
     pack = jnp.concatenate(parts)
 
     # Only materialize device outputs a consumer can actually reach: every
@@ -783,6 +877,7 @@ def _analyze_flat_core(
     with_mask_output: bool = True,
     channels: int = 4,
     scales_band: int | None = None,
+    sparse_budget: int | None = None,
 ):
     """Shared body of the flat-upload dispatch variants: slices both ROIs out
     of one flat u8 buffer (any bytes past map+btn — chunk padding — are
@@ -815,6 +910,7 @@ def _analyze_flat_core(
     return _pack_outputs(
         out, red, with_ocr, with_quiet, crop_h, crop_w, scales_inline,
         with_mask_output=with_mask_output, scales_band=scales_band,
+        sparse_budget=sparse_budget,
     )
 
 
@@ -825,7 +921,7 @@ def _analyze_flat_core(
         "grayscale", "with_ocr", "with_quiet", "crop_h", "crop_w", "pallas",
         "quiet_pallas",
         "scales_inline", "with_mask_output", "channels", "scales_band",
-        "with_resident",
+        "sparse_budget", "with_resident",
     ),
 )
 def _analyze_packed_flat(
@@ -845,6 +941,7 @@ def _analyze_packed_flat(
     with_mask_output: bool = True,
     channels: int = 4,
     scales_band: int | None = None,
+    sparse_budget: int | None = None,
     with_resident: bool = False,
 ):
     """The production full-upload dispatch: takes BOTH ROIs in one flat u8
@@ -860,7 +957,7 @@ def _analyze_packed_flat(
         with_ocr=with_ocr, with_quiet=with_quiet, crop_h=crop_h, crop_w=crop_w,
         pallas=pallas, quiet_pallas=quiet_pallas, scales_inline=scales_inline,
         with_mask_output=with_mask_output, channels=channels,
-        scales_band=scales_band,
+        scales_band=scales_band, sparse_budget=sparse_budget,
     )
     if with_resident:
         out["resident"] = rois
@@ -875,6 +972,7 @@ def _analyze_packed_flat(
         "grayscale", "with_ocr", "with_quiet", "crop_h", "crop_w", "pallas",
         "quiet_pallas",
         "scales_inline", "with_mask_output", "channels", "scales_band",
+        "sparse_budget",
     ),
 )
 def _analyze_delta_flat(
@@ -897,6 +995,7 @@ def _analyze_delta_flat(
     with_mask_output: bool = True,
     channels: int = 4,
     scales_band: int | None = None,
+    sparse_budget: int | None = None,
 ):
     """Delta-upload dispatch: the ROI buffer stays DEVICE-RESIDENT across
     frames and the per-frame H2D carries only the chunks whose bytes changed
@@ -919,7 +1018,7 @@ def _analyze_delta_flat(
         with_ocr=with_ocr, with_quiet=with_quiet, crop_h=crop_h, crop_w=crop_w,
         pallas=pallas, quiet_pallas=quiet_pallas, scales_inline=scales_inline,
         with_mask_output=with_mask_output, channels=channels,
-        scales_band=scales_band,
+        scales_band=scales_band, sparse_budget=sparse_budget,
     )
     out["resident"] = rois
     return out
@@ -953,6 +1052,7 @@ def _analyze_packed(
         "bucket", "chunk",
         "map_h", "map_w", "btn_h", "btn_w", "grayscale", "with_ocr",
         "crop_h", "crop_w", "scales_inline", "channels", "quiet_pallas",
+        "sparse_budget",
     ),
 )
 def _analyze_batch_delta(
@@ -971,6 +1071,7 @@ def _analyze_batch_delta(
     scales_inline: str = "none",
     channels: int = 4,
     quiet_pallas: str = "off",
+    sparse_budget: int | None = None,
 ):
     """Batched delta pass: B frames expressed as chunk-updates against a
     device-resident chain (frame i diffs against frame i-1; frame 0 against
@@ -998,6 +1099,7 @@ def _analyze_batch_delta(
             with_ocr=with_ocr, with_quiet=True, crop_h=crop_h, crop_w=crop_w,
             quiet_pallas=quiet_pallas, scales_inline=scales_inline,
             with_mask_output=False, channels=channels,
+            sparse_budget=sparse_budget,
         )
         extras = (out["scalespack"],) if with_spack else ()
         return new2d, (out["hostpack"], out["lsd_bits"]) + extras
@@ -1016,6 +1118,7 @@ def _analyze_batch_delta(
     static_argnames=(
         "map_h", "map_w", "btn_h", "btn_w", "grayscale", "with_ocr", "crop_h", "crop_w",
         "scales_inline", "channels", "resident_row", "quiet_pallas",
+        "sparse_budget",
     ),
 )
 def _analyze_batch_packed(
@@ -1032,6 +1135,7 @@ def _analyze_batch_packed(
     channels: int = 4,
     resident_row: int | None = None,
     quiet_pallas: str = "off",
+    sparse_budget: int | None = None,
 ):
     """Batched fused pass: B frames in, ONE [B, pack_bytes] hostpack out.
 
@@ -1059,6 +1163,7 @@ def _analyze_batch_packed(
             scales_inline=scales_inline,
             with_mask_output=False,
             channels=channels,
+            sparse_budget=sparse_budget,
         )
         if with_ocr and scales_inline in ("none", "device"):
             return out["hostpack"], out["lsd_bits"], out["scalespack"]

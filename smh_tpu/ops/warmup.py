@@ -41,13 +41,31 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
         out = be.crop_to_map(grayscale)
         if out is not None:
             be.find_marker_lines(C.LSD_MAX_GAP)
-        # Window-rung ladder buckets (the backend escalates/shrinks at
-        # runtime; each rung is its own compiled shape). Height/width adapt
-        # independently — warm the matched-rung diagonal, the most common
-        # shapes (mixed rungs compile on first use, cache persists).
-        from ..vision.tpu_backend import _RUNG_HALF, _dim_ladder
+        # Mask-transport buckets. Sparse mode (the default): each word-budget
+        # rung is its own compiled shape — warm the default rung and its
+        # escalation neighbourhood (live sessions start at _SP_RUNG_DEFAULT
+        # and step at most a few rungs). Window mode (SMH_SPARSE=0): warm the
+        # 2-D ladder's matched-rung diagonal instead.
+        from ..vision.tpu_backend import (
+            _RUNG_HALF,
+            _SP_RUNG_DEFAULT,
+            _SPARSE_BUDGETS,
+            _dim_ladder,
+            _sparse_mode,
+        )
 
-        if be._ladder_h is not None:
+        if _sparse_mode():
+            for rung in range(
+                max(0, _SP_RUNG_DEFAULT - 1),
+                min(len(_SPARSE_BUDGETS), _SP_RUNG_DEFAULT + 3),
+            ):
+                be._sp_rung = rung
+                be._sp_streak = 0
+                be.dispatch(grayscale)
+                be.crop_to_map(grayscale)
+                be._sp_rung = rung  # undo the consume-side shrink bookkeeping
+            be._sp_rung = _SP_RUNG_DEFAULT
+        elif be._ladder_h is not None:
             for rung in range(len(be._ladder_h)):
                 be._rung_h = be._rung_w = rung
                 be.dispatch(grayscale)

@@ -78,7 +78,18 @@ class BatchPipeline:
             assert batch % dp == 0, f"batch={batch} not divisible by dp={dp}"
         g = self.geom
         mask_bytes = g.map_h * ((g.map_w + 7) // 8)
-        if lsd_window is None or mask_bytes <= 16 * 1024:
+        # Sparse mask transport (see tpu_backend._SPARSE_BUDGETS): one fixed
+        # word budget for the whole job — batch jobs are offline and
+        # retry-free, so a static budget + the per-frame full-mask fallback
+        # keeps one jit bucket. 2048 words = 16 KB of pack sections per
+        # frame; a real 4K marker mask is ~600 words, so misses are rare and
+        # each costs one extra (batched) fetch, not a detection error.
+        from .tpu_backend import _sparse_mode
+
+        self.sparse_budget: Optional[int] = None
+        if _sparse_mode() and mask_bytes > 16 * 1024:
+            self.sparse_budget = min(2048, mask_bytes // 16)
+        if self.sparse_budget is not None or lsd_window is None or mask_bytes <= 16 * 1024:
             self.crop_h: Optional[int] = None
             self.crop_w: Optional[int] = None
         else:
@@ -356,6 +367,7 @@ class BatchPipeline:
             scales_inline=inline,
             channels=3,
             quiet_pallas=ops_pipeline.quiet_pallas_mode(),
+            sparse_budget=self.sparse_budget,
         )
         delta_ok = (
             self.mesh is None  # see __init__: no cross-chip scan chains
@@ -430,6 +442,7 @@ class BatchPipeline:
         layout = ops_pipeline.hostpack_layout(
             g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=True,
             crop_h=self.crop_h, crop_w=self.crop_w, scales_inline=inline,
+            sparse_budget=self.sparse_budget,
         )
         eff_ch = g.map_h if self.crop_h is None else self.crop_h
         eff_cw = g.map_w if self.crop_w is None else self.crop_w
@@ -452,10 +465,14 @@ class BatchPipeline:
             active.append(i)
             y0, y1, x0, x1, cy0, cx0 = (int(v) for v in sect(i, "lsd_meta").view(np.int32))
             empty = y0 >= y1 or x0 >= x1
-            fit = (not empty) and (
-                cy0 + eff_ch >= min(y1 + margin, g.map_h)
-                and cx0 + eff_cw >= min(x1 + margin, g.map_w)
-            )
+            if self.sparse_budget is not None:
+                nz = int(sect(i, "lsd_nz").view(np.int32)[0])
+                fit = (not empty) and nz <= self.sparse_budget
+            else:
+                fit = (not empty) and (
+                    cy0 + eff_ch >= min(y1 + margin, g.map_h)
+                    and cx0 + eff_cw >= min(x1 + margin, g.map_w)
+                )
             if not empty and not fit:
                 misses.append(i)
             check = None
@@ -478,6 +495,18 @@ class BatchPipeline:
             # stage cost tracks content area, not window area.
             if empty:
                 markers: list[Line] = []
+            elif fit and self.sparse_budget is not None:
+                bits = ops_pipeline.sparse_mask_host(
+                    int(sect(i, "lsd_nz").view(np.int32)[0]),
+                    sect(i, "lsd_sp_idx").view(np.int32),
+                    sect(i, "lsd_sp_dat").view(np.uint32),
+                    g.map_h,
+                    g.map_w,
+                )
+                crop, off = ops_pipeline.bbox_crop_host(
+                    bits, bbox, (0, 0), (g.map_h, g.map_w)
+                )
+                markers = self._find_lines(crop, off)
             elif fit:
                 bits = sect(i, "lsd_crop").reshape(eff_ch, crop_row)
                 crop, off = ops_pipeline.bbox_crop_host(

@@ -18,13 +18,17 @@ Host<->device traffic (the H2D/D2H boundaries of SURVEY.md section 3.1):
     transfers the OCR and LSD images every frame
     (vision-gpu/src/gpuimage.rs:117-167).
 
-The LSD crop window adapts: a rung ladder (1/4, 1/2, 3/4, full of the map)
-sized per frame from the device-computed mask bbox, escalating immediately on
-a miss (that frame falls back to fetching the full bit-mask, kept
-device-resident) and shrinking only after a run of comfortably-fitting
-frames. Crop-local detection is bit-identical to full-mask detection because
-the window carries LSD_CROP_MARGIN black context (>= max_gap + 2 ray death,
->= centre-snap radius).
+The LSD mask transport adapts. Default (round 3+): SPARSE — the fused pass
+compacts the nonzero u32 words of the bit-packed plane (a real 4K marker
+mask is ~600 words / ~5 KB where a half-map window crop is ~150 KB), over a
+word-budget rung ladder (escalate immediately on overflow — that frame falls
+back to fetching the full bit-mask, kept device-resident — shrink after a
+sustained fitting streak). SMH_SPARSE=0 reverts to the round-2 WINDOW
+transport: a 2-D rung ladder (1/16..full per dimension) sized per frame from
+the device-computed mask bbox. Both are exact: sparse reconstruction is the
+full plane bit-for-bit; crop-local detection is bit-identical to full-mask
+detection because the window carries LSD_CROP_MARGIN black context
+(>= max_gap + 2 ray death, >= centre-snap radius).
 """
 
 from __future__ import annotations
@@ -215,6 +219,30 @@ def _dim_ladder(dim: int) -> list[int]:
 
 _RUNG_HALF = 3  # ladder index of the dim//2 rung (the starting window)
 
+# -- sparse mask transport -----------------------------------------------------
+# Production default: the LSD mask travels as its compacted nonzero u32 words
+# (ops/pipeline._sparse_words) instead of a window crop. A real dilated marker
+# mask is ~600 nonzero words at 4K (~5 KB at 8 bytes/word) where the half-map
+# window is ~150 KB — and the sparse pack needs no 2-D window ladder, so a
+# session compiles ~1 fused-pass bucket instead of one per (rung_h, rung_w).
+# nz > budget is a miss: that frame falls back to the device-resident full
+# bit-mask fetch (exact) and the budget rung escalates. SMH_SPARSE=0 opts out
+# (back to the window-crop transport).
+_SPARSE_BUDGETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+_SP_RUNG_DEFAULT = 2  # 1024 words: ~8 KB pack section, fits live play 10x over
+# Escalation headroom: marker lines grow under the player's drag; sizing the
+# next rung to 5/4 of this frame's word count avoids boundary flapping.
+_SP_SLACK_NUM, _SP_SLACK_DEN = 5, 4
+# Consecutive sparse misses before the transport concedes the session content
+# is dense and steps aside for the window ladder (re-probed later).
+_SP_OFF_AFTER = 3
+
+
+def _sparse_mode() -> bool:
+    import os
+
+    return os.environ.get("SMH_SPARSE", "1") != "0"
+
 
 class TpuBackend:
     name = "tpu"
@@ -233,7 +261,7 @@ class TpuBackend:
         self._march_max_len: Optional[float] = None  # bbox diag bound
         self._debug = False
         self._grayscale = True
-        self._dispatch_flags: tuple = (True, True, True, None, None, "off", "gray", None, "off")
+        self._dispatch_flags: tuple = (True, True, True, None, None, "off", "gray", None, "off", None)
         self._host: Optional[dict] = None  # parsed hostpack sections
         self._scalespack_host: Optional[np.ndarray] = None
         self._ui_check: Optional[tuple] = None
@@ -243,8 +271,14 @@ class TpuBackend:
         self._rung_h = _RUNG_HALF  # start at the 1/2 window
         self._rung_w = _RUNG_HALF
         self._shrink_streak = 0
+        # Sparse mask transport rung ladder (see _SPARSE_BUDGETS above).
+        self._sp_rung = _SP_RUNG_DEFAULT
+        self._sp_streak = 0  # comfortably-fitting frames (shrink hysteresis)
+        self._sp_miss_streak = 0  # consecutive misses (dense-content detector)
+        self._sp_probation = 0  # frames since sparse stepped aside
         self.stats = {
             "lsd_window_misses": 0,
+            "lsd_sparse_misses": 0,
             "scalespack_fetches": 0,
             "scales_band_misses": 0,
             "frames": 0,
@@ -421,6 +455,65 @@ class TpuBackend:
             return None, None
         return ch, cw
 
+    def _sparse_budget(self) -> Optional[int]:
+        """Static word budget for the sparse mask transport, or None when the
+        transport is off (env opt-out, tiny maps where windowing is also off,
+        dense-content sessions that repeatedly overflow the largest useful
+        rung). When this returns a budget, dispatch() drops the window crop
+        entirely (crop_h = crop_w = None): the pack's sparse sections
+        reconstruct the full plane."""
+        if not _sparse_mode():
+            return None
+        g = self.geom
+        mask_bytes = g.map_h * ((g.map_w + 7) // 8)
+        if mask_bytes <= _MIN_WINDOWED_MASK_BYTES:
+            return None
+        if self._sp_probation > 0:  # stepped aside: re-probe periodically
+            self._sp_probation += 1
+            if self._sp_probation <= _SHRINK_AFTER:
+                return None
+            self._sp_probation = 0
+            self._sp_miss_streak = 0
+        # Largest rung that still undercuts shipping the full plane: at
+        # 8 bytes/word the sparse sections reach mask_bytes at budget
+        # mask_bytes/8; beyond ~half of that, sparse stops paying.
+        budget = _SPARSE_BUDGETS[min(self._sp_rung, len(_SPARSE_BUDGETS) - 1)]
+        while budget * 8 >= mask_bytes and budget > _SPARSE_BUDGETS[0]:
+            self._sp_rung -= 1
+            budget = _SPARSE_BUDGETS[self._sp_rung]
+        if budget * 8 >= mask_bytes:
+            return None
+        return budget
+
+    def _adapt_sp_rung(self, nz: int, budget: int) -> None:
+        """Escalate immediately on (near-)overflow, shrink after a sustained
+        streak — the same hysteresis shape as the window ladder."""
+        need = nz * _SP_SLACK_NUM // _SP_SLACK_DEN
+        want = 0
+        for i, b in enumerate(_SPARSE_BUDGETS):
+            want = i
+            if b >= need:
+                break
+        if nz > budget:
+            self._sp_miss_streak += 1
+            self._sp_rung = max(self._sp_rung + 1, want)
+            self._sp_streak = 0
+            if self._sp_miss_streak >= _SP_OFF_AFTER:
+                # Dense content: the mask has outgrown what sparse can carry
+                # cheaply. Step aside (window ladder takes over) and re-probe
+                # after a while — one pathological scene must not disable the
+                # transport for the whole session.
+                self._sp_probation = 1
+            return
+        self._sp_miss_streak = 0
+        if want < self._sp_rung:
+            self._sp_streak += 1
+            if self._sp_streak >= _SHRINK_AFTER:
+                self._sp_rung -= 1
+                self._sp_streak = 0
+        else:
+            self._sp_streak = 0
+
     def _scales_band_size(self) -> tuple[Optional[int], bool]:
         """Pure query: (static OCR row-band height for the next dispatch or
         None for full, ladder_maxed). No state is mutated here — the
@@ -495,7 +588,11 @@ class TpuBackend:
         if grayscale is not None:
             self._grayscale = grayscale
         g = self.geom
-        crop_h, crop_w = self._crop_size()
+        sparse = self._sparse_budget()
+        if sparse is not None:
+            crop_h = crop_w = None  # sparse sections reconstruct the plane
+        else:
+            crop_h, crop_w = self._crop_size()
         pallas = ops_pipeline.pallas_mode()
         if not self.scales_enabled:
             inline = "none"
@@ -522,6 +619,7 @@ class TpuBackend:
             inline,
             band,
             quiet_pallas,
+            sparse,
         )
         kw = dict(
             map_h=g.map_h,
@@ -539,6 +637,7 @@ class TpuBackend:
             with_mask_output=(self.lsd_engine != "native") or self._debug,
             channels=ROI_CHANNELS,
             scales_band=band,
+            sparse_budget=sparse,
         )
         pending, self._pending = self._pending, None
         if pending is not None and pending[0] == "delta":
@@ -608,10 +707,12 @@ class TpuBackend:
             self._grayscale = grayscale
             self.dispatch()
         with_ocr, with_quiet, _, crop_h, crop_w, _, inline, band = self._dispatch_flags[:8]
+        sparse = self._dispatch_flags[9] if len(self._dispatch_flags) > 9 else None
         pack = np.asarray(self._results["hostpack"])
         layout = ops_pipeline.hostpack_layout(
             g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=with_quiet,
             crop_h=crop_h, crop_w=crop_w, scales_inline=inline, scales_band=band,
+            sparse_budget=sparse,
         )
         eff_ch = g.map_h if crop_h is None else crop_h
         eff_cw = g.map_w if crop_w is None else crop_w
@@ -702,8 +803,31 @@ class TpuBackend:
             self._host["lsd_offset"] = (0, 0)
             self._host["lsd_crop_shape"] = (0, 0)
             self._march_max_len = 0.0
-            if self._ladder_h is not None:
+            if sparse is not None:
+                self._adapt_sp_rung(int(sect("lsd_nz").view(np.int32)[0]), sparse)
+            elif self._ladder_h is not None:
                 self._adapt_rung(0, 0)
+        elif sparse is not None:
+            self._march_max_len = math.hypot(y1 - y0, x1 - x0) + 1.0
+            nz = int(sect("lsd_nz").view(np.int32)[0])
+            if nz <= sparse:
+                # Exact reconstruction of the full bit plane from the
+                # compacted words (~600 words / 5 KB for a real 4K mask).
+                self._host["lsd_crop_bits"] = ops_pipeline.sparse_mask_host(
+                    nz,
+                    sect("lsd_sp_idx").view(np.int32),
+                    sect("lsd_sp_dat").view(np.uint32),
+                    g.map_h,
+                    g.map_w,
+                )
+            else:
+                # Sparse miss: the words past the budget were dropped — fall
+                # back to the device-resident full mask (one extra fetch).
+                self.stats["lsd_sparse_misses"] += 1
+                self._host["lsd_crop_bits"] = np.asarray(self._results["lsd_bits"])
+            self._host["lsd_offset"] = (0, 0)
+            self._host["lsd_crop_shape"] = (g.map_h, g.map_w)
+            self._adapt_sp_rung(nz, sparse)
         else:
             m = ops_pipeline.LSD_CROP_MARGIN
             fit = (

@@ -23,6 +23,14 @@ pytestmark = pytest.mark.slow  # jit-compile heavy (see pyproject markers)
 W, H = 1920, 1080  # map mask > 16 KiB: windowing active
 
 
+@pytest.fixture(autouse=True)
+def _window_transport(monkeypatch):
+    """This module tests the WINDOW-crop transport (the SMH_SPARSE=0 path);
+    the sparse-word transport that replaced it as the default has its own
+    module, tests/test_sparse_transport.py."""
+    monkeypatch.setenv("SMH_SPARSE", "0")
+
+
 def small_lines_frame(off=0):
     return testing.make_frame(
         W, H,
