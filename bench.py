@@ -139,7 +139,7 @@ def measure_device(backend, iters: int) -> tuple[float, float]:
 
     g = backend.geom
     (with_ocr, with_quiet, grayscale, crop_h, crop_w,
-     pallas, inline, band, quiet_pallas) = backend._dispatch_flags
+     pallas, inline, band, quiet_pallas, sparse) = backend._dispatch_flags
 
     from smh_tpu.vision.tpu_backend import ROI_CHANNELS
 
@@ -151,7 +151,7 @@ def measure_device(backend, iters: int) -> tuple[float, float]:
             crop_h=crop_h, crop_w=crop_w, pallas=pallas,
             quiet_pallas=quiet_pallas, scales_inline=inline,
             with_mask_output=(backend.lsd_engine != "native") or backend._debug,
-            channels=ROI_CHANNELS, scales_band=band,
+            channels=ROI_CHANNELS, scales_band=band, sparse_budget=sparse,
         )
 
     jax.block_until_ready(dispatch()["hostpack"])  # warm
