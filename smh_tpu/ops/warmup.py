@@ -85,12 +85,12 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
         if be._delta_active(be._pending_host.size if be._pending_host is not None else 0):
             import numpy as np
 
-            from ..vision.tpu_backend import _DELTA_CHUNK
+            from ..vision.tpu_backend import _DELTA_SUB
 
             g = be.geom
             for n_touch in (100, 1000):
                 f2 = frame.copy()
-                span = min(g.map_w - 60, (n_touch * _DELTA_CHUNK) // 9)
+                span = min(g.map_w - 60, (n_touch * _DELTA_SUB) // 9)
                 f2[
                     g.map_y + 40 : g.map_y + 43, g.map_x + 50 : g.map_x + 50 + span, :3
                 ] = np.uint8(200)

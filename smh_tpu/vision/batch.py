@@ -215,28 +215,39 @@ class BatchPipeline:
     def _delta_updates(self, rois: np.ndarray, n: int):
         """Per-frame changed-chunk updates against the chain, or None when a
         frame changed too much (the full batch upload wins)."""
-        from .tpu_backend import _DELTA_CHUNK, _delta_bucket
+        from .tpu_backend import _DELTA_CHUNK, _DELTA_SUB, _delta_bucket
 
+        # Two-level diff (same scheme as the per-frame backend): compare at
+        # 128 B granularity, refine the changed chunks to 32 B sub-chunks
+        # from the SAME elementwise compare — the planar layout spreads a
+        # changed region across 3 plane runs, and 32 B rounding carries it
+        # in ~2.6x fewer upload bytes at no extra compare cost.
         n_chunks = rois.shape[1] // _DELTA_CHUNK
+        sub = _DELTA_CHUNK // _DELTA_SUB
+        n_sub = n_chunks * sub
         prev64 = self._mirror.view(np.uint64).reshape(n_chunks, -1)
         changed: list[np.ndarray] = []
         for i in range(n):
             cur64 = rois[i].view(np.uint64).reshape(n_chunks, -1)
-            ch = np.flatnonzero((cur64 != prev64).any(axis=1)).astype(np.int32)
+            ne = cur64 != prev64
+            ch = np.flatnonzero(ne.any(axis=1)).astype(np.int32)
             if ch.size == 0:
-                ch = np.zeros(1, dtype=np.int32)
-            changed.append(ch)
+                ch32 = np.zeros(1, dtype=np.int32)
+            else:
+                d32 = ne[ch].reshape(ch.size, sub, -1).any(axis=2)
+                ch32 = (ch[:, None] * sub + np.arange(sub, dtype=np.int32))[d32]
+            changed.append(ch32)
             prev64 = cur64
-        bucket = _delta_bucket(max(c.size for c in changed), n_chunks)
+        bucket = _delta_bucket(max(c.size for c in changed), n_sub)
         if bucket is None:
             return None
         b = self.batch
-        buf = np.empty(b * bucket * 4 + b * bucket * _DELTA_CHUNK, dtype=np.uint8)
+        buf = np.empty(b * bucket * 4 + b * bucket * _DELTA_SUB, dtype=np.uint8)
         idxs = buf[: b * bucket * 4].view(np.int32).reshape(b, bucket)
-        datas = buf[b * bucket * 4 :].reshape(b, bucket, _DELTA_CHUNK)
+        datas = buf[b * bucket * 4 :].reshape(b, bucket, _DELTA_SUB)
         for i in range(b):
             ch = changed[i] if i < n else np.zeros(1, dtype=np.int32)
-            src = rois[min(i, n - 1)].reshape(n_chunks, _DELTA_CHUNK)
+            src = rois[min(i, n - 1)].reshape(n_sub, _DELTA_SUB)
             idxs[i, : ch.size] = ch
             idxs[i, ch.size :] = ch[-1]
             datas[i, : ch.size] = src[ch]
@@ -326,7 +337,7 @@ class BatchPipeline:
         pipelining: the diff base is the last SUBMITTED batch's tail (host
         mirror), and the device resident buffer advances in submit order.
         """
-        from .tpu_backend import _DELTA_CHUNK, _DELTA_MIN_BYTES
+        from .tpu_backend import _DELTA_CHUNK, _DELTA_MIN_BYTES, _DELTA_SUB
 
         g = self.geom
         assert frames and len(frames) <= self.batch
@@ -397,7 +408,7 @@ class BatchPipeline:
             t3 = time.perf_counter()
             self.stats["t_poke_ms"] += (t3 - t2) * 1000.0
             out = dict(ops_pipeline._analyze_batch_delta(
-                self._resident, buf, bucket=bucket, chunk=_DELTA_CHUNK, **kw
+                self._resident, buf, bucket=bucket, chunk=_DELTA_SUB, **kw
             ))
             self.stats["t_dispatch_ms"] += (time.perf_counter() - t3) * 1000.0
             self.stats["delta_batches"] += 1

@@ -77,18 +77,23 @@ ROI_CHANNELS = 3  # the alpha byte is never read; dropping it cuts H2D 25%
 # ops/pipeline._analyze_delta_flat). Consumed-H2D moves at ~40-120 MB/s on
 # this host link, so at 4K the full 9.8 MB upload dominates the frame; a
 # typical live-play change (marker drag, UI tick) is a few hundred KB.
-_DELTA_CHUNK = 128  # bytes per chunk (one VPU lane row; measured sweet spot:
-# a marker-line drag at 4K changes ~670 chunks x 128 B ~ 86 KB vs ~1 MB at
-# 1 KB chunks, while the u64-view host diff stays ~6 ms)
+_DELTA_CHUNK = 128  # DIFF granularity, bytes (measured sweet spot: the
+# u64-view [n,16] compare costs ~10 ms at 4K where [n,4] at 32 B costs ~18)
+_DELTA_SUB = 32  # UPLOAD granularity, bytes. Two-level: diff at 128 B, then
+# refine the changed chunks to 32 B sub-chunks by re-reading the SAME
+# elementwise compare (zero extra passes). The planar layout spreads a
+# changed region across 3 plane runs, so 128 B rounding wastes ~2x upload
+# bytes (measured 270 KB/frame on the 4K drag workload; 32 B sub-chunks
+# carry the same content in ~76 KB).
 _DELTA_MIN_BYTES = 1 << 20  # below this a full upload is already cheap
 _DELTA_MAX_FRACTION = 0.5  # more change than this -> full upload (panning)
 # Chunk-count buckets: each bucket is its own jit trace, so the ladder
 # trades upload padding for a bounded compile count (only the 1-2 buckets a
-# scene actually visits ever compile). x2 steps below 512 chunks (64 KB —
-# padding there is cheap); 1.5x-spaced intermediates above, where the
-# planar layout's 3-plane chunk spread parks video workloads just over
-# power-of-2 edges (measured: ~1.1 K changed chunks rode the 2048 bucket,
-# 270 KB/frame; 1536 carries the same frames at 203 KB).
+# scene actually visits ever compile). x2 steps below 512 chunks (padding
+# there is cheap); 1.5x-spaced intermediates above, where the planar
+# layout's 3-plane chunk spread parks video workloads just over power-of-2
+# edges. Counts are in _DELTA_SUB units since the two-level refine (a 4K
+# drag is ~2 K sub-chunks ~ 72 KB on the 2048 bucket).
 _DELTA_BUCKETS = tuple(
     sorted({16 << i for i in range(14)} | {48 << i for i in range(4, 13)})
 )
@@ -398,24 +403,32 @@ class TpuBackend:
             and self._resident is not None
         ):
             n_chunks = packed.size // _DELTA_CHUNK
-            diff = (
+            ne = (
                 packed.view(np.uint64).reshape(n_chunks, -1)
                 != self._mirror.view(np.uint64).reshape(n_chunks, -1)
-            ).any(axis=1)
-            changed = np.flatnonzero(diff).astype(np.int32)
+            )
+            changed = np.flatnonzero(ne.any(axis=1)).astype(np.int32)
+            # Refine to 32 B sub-chunks from the same compare (no new passes).
+            sub = _DELTA_CHUNK // _DELTA_SUB
+            n_sub = n_chunks * sub
             if changed.size == 0:
-                changed = np.zeros(1, dtype=np.int32)  # flags may still differ
-            bucket = _delta_bucket(int(changed.size), n_chunks)
+                changed32 = np.zeros(1, dtype=np.int32)  # flags may differ
+            else:
+                d32 = ne[changed].reshape(changed.size, sub, -1).any(axis=2)
+                changed32 = (
+                    changed[:, None] * sub + np.arange(sub, dtype=np.int32)
+                )[d32]
+            bucket = _delta_bucket(int(changed32.size), n_sub)
             if bucket is not None:
                 idx = np.empty(bucket, dtype=np.int32)
-                idx[: changed.size] = changed
-                idx[changed.size :] = changed[-1]  # repeat: same data, no-op
-                buf = np.empty(4 * bucket + bucket * _DELTA_CHUNK, dtype=np.uint8)
+                idx[: changed32.size] = changed32
+                idx[changed32.size :] = changed32[-1]  # repeat: same data, no-op
+                buf = np.empty(4 * bucket + bucket * _DELTA_SUB, dtype=np.uint8)
                 buf[: 4 * bucket].view(np.int32)[:] = idx
-                chunks2d = packed.reshape(n_chunks, _DELTA_CHUNK)
-                data = buf[4 * bucket :].reshape(bucket, _DELTA_CHUNK)
-                data[: changed.size] = chunks2d[changed]
-                data[changed.size :] = chunks2d[changed[-1]]
+                chunks2d = packed.reshape(n_sub, _DELTA_SUB)
+                data = buf[4 * bucket :].reshape(bucket, _DELTA_SUB)
+                data[: changed32.size] = chunks2d[changed32]
+                data[changed32.size :] = chunks2d[changed32[-1]]
                 delta = (buf, bucket, buf.size)
 
         # The pending buffers stay HOST-side: dispatch passes them to the jit
@@ -643,7 +656,7 @@ class TpuBackend:
         if pending is not None and pending[0] == "delta":
             _, buf_np, bucket, nbytes = pending
             out = ops_pipeline._analyze_delta_flat(
-                self._resident, buf_np, bucket=bucket, chunk=_DELTA_CHUNK, **kw
+                self._resident, buf_np, bucket=bucket, chunk=_DELTA_SUB, **kw
             )
             self._resident = out.pop("resident")
             self.rois_dev = self._resident

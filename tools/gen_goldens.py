@@ -23,10 +23,13 @@ from smh_tpu.vision.reference import ReferenceBackend  # noqa: E402
 SAMPLES = pathlib.Path("/root/reference/vision-common/samples")
 OUT = pathlib.Path(__file__).resolve().parent.parent / "tests" / "goldens" / "detections.json"
 
-# Full-frame samples only (the pipeline needs the whole screen incl. the
-# close-deployment button); crops like point-only images are exercised by
-# unit tests instead.
+# Every sample in the reference corpus except convolution.png (a 43x44
+# kernel test image, not a game frame). a_point.png / line_angle.png are
+# map-only crops without the close-deployment button: the red gate correctly
+# reports them sleeping, and the goldens pin that.
 FULL_FRAMES = [
+    "a_point.png",
+    "line_angle.png",
     "albasrah.png",
     "difficult.png",
     "full.jpg",
