@@ -210,10 +210,17 @@ def measure_pipelined_fps(w: int, h: int, seconds: float) -> float:
     with lock:
         n0 = n_updates[0]
     t0 = time.perf_counter()
-    time.sleep(seconds)
-    with lock:
-        n1 = n_updates[0]
-    elapsed = time.perf_counter() - t0
+    # The relay occasionally stalls one exchange for tens of seconds; a
+    # fixed window that catches a stall reports ~0 fps (or Infinity ms).
+    # Keep measuring (up to 4x the window) until a handful of updates
+    # landed so the number reflects the steady state.
+    while True:
+        time.sleep(0.25)
+        elapsed = time.perf_counter() - t0
+        with lock:
+            n1 = n_updates[0]
+        if elapsed >= seconds and (n1 - n0 >= 4 or elapsed >= 4 * seconds):
+            break
     loop.stop()
     cap.stop()
     state.close()

@@ -7,7 +7,8 @@ sources (the reference's own test path: Fake Inputs, src/ui/debug.rs:46-82).
 
 The capture thread semantics mirror /root/reference/src/capture.rs:8-95:
   * 20 Hz poll (CAPTURE_HZ),
-  * crc32 dedup of identical frames,
+  * content dedup of identical frames (the reference's crc32 skip,
+    src/capture.rs:44-47, as an early-exit block compare — see _run),
   * a one-slot mailbox: the thread parks after delivering a frame and is
     unparked when the vision loop consumes it.
 """
@@ -18,7 +19,6 @@ import dataclasses
 import itertools
 import pathlib
 import threading
-import zlib
 from typing import Iterator, Optional, Protocol
 
 import numpy as np
@@ -332,7 +332,7 @@ class CaptureThread:
         self._consumed = threading.Event()
         self._consumed.set()
         self._shutdown = threading.Event()
-        self._last_crc = 0
+        self._last_image: Optional[np.ndarray] = None
         self._thread: Optional[threading.Thread] = None
 
     def fresh_frame(self) -> Optional[Frame]:
@@ -345,11 +345,41 @@ class CaptureThread:
         return frame
 
     def resend(self) -> None:
-        """Invalidate the crc dedup so the next grab republishes the frame
+        """Invalidate the dedup so the next grab republishes the frame
         even when the scene is static — used when a runtime setting changes
         what the pipeline renders (grayscale_map / backend flips)."""
-        self._last_crc = 0
+        self._last_image = None
         self._consumed.set()
+
+    @staticmethod
+    def _frames_equal(a: np.ndarray, b: Optional[np.ndarray]) -> bool:
+        """Duplicate-frame test, replacing the reference's whole-frame crc32
+        (src/capture.rs:44-47). A crc reads the full 33 MB 4K frame every
+        grab (~12 ms on this 1-core host) even when the frame CHANGED — and
+        changing frames are exactly when the capture thread competes with
+        the vision thread for the core. The block compare exits on the
+        first differing MiB, so changing frames cost ~0.1-0.5 ms and only
+        static frames (vision idle anyway) pay the full read. Sources must
+        not mutate a returned frame buffer afterwards (all of ours allocate
+        fresh or return stable preloaded arrays, so identity => equal)."""
+        if b is None:
+            return False
+        if a is b:
+            return True
+        if a.shape != b.shape or a.dtype != b.dtype:
+            return False
+        if not (a.flags.c_contiguous and b.flags.c_contiguous):
+            return bool(np.array_equal(a, b))
+        av = a.reshape(-1)
+        bv = b.reshape(-1)
+        if av.nbytes % 8 == 0:
+            av = av.view(np.uint64)
+            bv = bv.view(np.uint64)
+        step = 1 << 17  # 1 MiB blocks
+        for off in range(0, av.size, step):
+            if not np.array_equal(av[off : off + step], bv[off : off + step]):
+                return False
+        return True
 
     def _run(self) -> None:
         while not self._shutdown.is_set():
@@ -357,17 +387,10 @@ class CaptureThread:
             if frame is None:
                 self._shutdown.wait(self._interval)
                 continue
-            try:
-                # Zero-copy: crc32 reads a C-contiguous ndarray through the
-                # buffer protocol (tobytes() would copy the whole frame —
-                # ~16 ms extra per 4K grab on this 1-core host).
-                crc = zlib.crc32(frame.image)
-            except (ValueError, BufferError, TypeError):
-                crc = zlib.crc32(frame.image.tobytes())
-            if crc == self._last_crc:
+            if self._frames_equal(frame.image, self._last_image):
                 self._shutdown.wait(self._interval)
                 continue
-            self._last_crc = crc
+            self._last_image = frame.image
             # Clear BEFORE publishing: a consumer that takes the frame
             # between publish and wait would otherwise have its set() lost
             # and the capture thread would stall a tick.
