@@ -194,22 +194,39 @@ def sparse_word_pad(bpr: int) -> int:
     return ((bpr + 3) // 4) * 4
 
 
-def _sparse_words(bits: jnp.ndarray, budget: int):
-    """Compact the nonzero u32 words of a bit-packed u8 [h, bpr] mask plane.
+def _pack_words32(mask_bool: jnp.ndarray) -> jnp.ndarray:
+    """Pack a bool [h, w] mask into the flat u32 word plane the sparse
+    transport ships: word j of row i covers pixels [32j, 32j+32), laid out
+    so the HOST byte view of each little-endian u32 reproduces pack_bits'
+    MSB-first bytes (pixel p -> byte lane p//8 % 4, bit 7 - p%8).
 
-    Returns (nz i32 scalar = TOTAL nonzero words, idx i32 [budget] flat word
-    indices, dat u32 [budget]); slots past min(nz, budget) are zero. The
-    compaction is a prefix-sum scatter — measured 25 us for the ~139K-word
-    4K grid on a v5e, where a sort/top_k formulation costs ~1.4 ms. Word
-    indices are in the PADDED grid (sparse_word_pad columns of u8 per row)
-    so the host can reconstruct with one flat u32 scatter + byte view."""
-    h, bpr = bits.shape
-    pad = sparse_word_pad(bpr) - bpr
-    if pad:
-        bits = jnp.pad(bits, ((0, 0), (0, pad)))
-    words = jax.lax.bitcast_convert_type(
-        bits.reshape(-1, 4), jnp.uint32
-    ).reshape(-1)
+    Computed straight from the bools with one weighted sum — bitcasting
+    pack_bits' u8 output to u32 instead crosses the (32,128)->(8,128) tile
+    layouts (a shift+or-reduce lowering the cost model flags at 87% of the
+    standalone compaction program's cycles). NOTE (round 3, measured): the
+    sparse sections still add ~1.3 ms to the 4K dispatch wherever they are
+    formulated — weighted-sum vs MXU-matvec packs, in-program vs fissioned
+    programs, with/without operand barriers all measure the same; the
+    per-op probes of every constituent (pack, cumsum, scatter) are ~25 us.
+    The residual is an XLA scheduling interaction a Pallas compaction
+    kernel would sidestep — the round-4 target in ROADMAP.md."""
+    h, w = mask_bool.shape
+    w32 = ((w + 31) // 32) * 32
+    padded = jnp.pad(mask_bool, ((0, 0), (0, w32 - w))).reshape(h, w32 // 32, 32)
+    p = jnp.arange(32)
+    weights = (jnp.uint32(1) << (8 * (p // 8) + (7 - p % 8)).astype(jnp.uint32))
+    return (
+        (padded.astype(jnp.uint32) * weights[None, None, :])
+        .sum(axis=2, dtype=jnp.uint32)
+        .reshape(-1)
+    )
+
+
+def _compact_words(words: jnp.ndarray, budget: int):
+    """First `budget` nonzero words of a flat u32 plane: (nz i32 scalar =
+    TOTAL nonzero count, idx i32 [budget], dat u32 [budget]); slots past
+    min(nz, budget) are zero. Prefix-sum scatter — 25 us for the ~139K-word
+    4K grid on a v5e, where a sort/top_k formulation costs ~1.4 ms."""
     nzmask = words != jnp.uint32(0)
     pos = jnp.cumsum(nzmask.astype(jnp.int32)) - 1
     oidx = jnp.where(nzmask & (pos < budget), pos, budget)
@@ -222,6 +239,14 @@ def _sparse_words(bits: jnp.ndarray, budget: int):
         .set(jnp.arange(words.size, dtype=jnp.int32), mode="drop")[:budget]
     )
     return nzmask.sum(dtype=jnp.int32), idx, dat
+
+
+def _sparse_words(mask_bool: jnp.ndarray, budget: int):
+    """Compact the nonzero u32 words of a bool [h, w] mask plane (see
+    _compact_words). Word indices are in the PADDED grid (sparse_word_pad
+    columns of u8 per row) so the host reconstructs with one flat u32
+    scatter + byte view."""
+    return _compact_words(_pack_words32(mask_bool), budget)
 
 
 def sparse_mask_host(
@@ -827,7 +852,7 @@ def _pack_outputs(
         )
         parts += [jax.lax.bitcast_convert_type(rect, jnp.uint8).reshape(-1)]
     if sparse_budget is not None:
-        nz, sp_idx, sp_dat = _sparse_words(out["lsd_bits"], sparse_budget)
+        nz, sp_idx, sp_dat = _sparse_words(out["lsd_bool"], sparse_budget)
         parts += [
             jax.lax.bitcast_convert_type(nz[None], jnp.uint8).reshape(-1),
             jax.lax.bitcast_convert_type(sp_idx, jnp.uint8).reshape(-1),

@@ -664,8 +664,7 @@ class TpuBackend:
             self._mirror = self._pending_host
             self.stats["delta_frames"] += 1
             self.stats["h2d_bytes"] += nbytes
-            return
-        if pending is not None:
+        elif pending is not None:
             # Full upload: the jit echoes the uploaded buffer back as a
             # device output, which seeds the delta chain for the next frame.
             _, packed_np, nbytes = pending
@@ -678,9 +677,10 @@ class TpuBackend:
             self._mirror = self._pending_host
             self.stats["full_uploads"] += 1
             self.stats["h2d_bytes"] += nbytes
-            return
-        # No pending (re-dispatch with new flags): analyze the resident as-is.
-        self._results = ops_pipeline._analyze_packed_flat(self.rois_dev, **kw)
+        else:
+            # No pending (re-dispatch with new flags): analyze the resident.
+            self._results = ops_pipeline._analyze_packed_flat(self.rois_dev, **kw)
+
 
     def snapshot_job(self) -> dict:
         """Capture the in-flight frame's device state so another frame can be

@@ -73,7 +73,7 @@ def test_sparse_words_roundtrip_exact(shape):
     mask = rng.random((h, w)) < 0.02
     bits = np.asarray(op.pack_bits(jnp.asarray(mask)))
     budget = 4096  # plenty
-    nz, idx, dat = (np.asarray(x) for x in op._sparse_words(jnp.asarray(bits), budget))
+    nz, idx, dat = (np.asarray(x) for x in op._sparse_words(jnp.asarray(mask), budget))
     assert int(nz) <= budget
     rec = op.sparse_mask_host(int(nz), idx, dat, h, w)
     assert np.array_equal(rec, bits)
@@ -85,7 +85,7 @@ def test_sparse_words_overflow_reports_true_count():
     rng = np.random.default_rng(3)
     mask = rng.random((64, 256)) < 0.5  # dense: every word nonzero
     bits = np.asarray(op.pack_bits(jnp.asarray(mask)))
-    nz, idx, dat = (np.asarray(x) for x in op._sparse_words(jnp.asarray(bits), 16))
+    nz, idx, dat = (np.asarray(x) for x in op._sparse_words(jnp.asarray(mask), 16))
     assert int(nz) > 16  # the TOTAL count, not the truncated one
     # the first 16 nonzero words are still delivered in order
     bpr4 = op.sparse_word_pad(bits.shape[1])
