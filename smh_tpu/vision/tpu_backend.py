@@ -11,7 +11,7 @@ so the trait-shaped API is preserved without giving up fusion.
 Host<->device traffic (the H2D/D2H boundaries of SURVEY.md section 3.1):
   * one H2D per frame (flat upload of the map+button ROIs);
   * ONE critical-path D2H per frame: the hostpack (red gate, checksums, LSD
-    bbox + windowed mask crop, quiet mask on minimap-cadence frames);
+    bbox + the sparse word sections, minimap rect on quiet-cadence frames);
   * lazy D2H: the ui plane (display only, checksum-deduped) and the
     scalespack (OCR image + scales binarize) fetched only when the device
     checksum says its content changed. The reference instead pins and
@@ -469,12 +469,17 @@ class TpuBackend:
         return ch, cw
 
     def _sparse_budget(self) -> Optional[int]:
-        """Static word budget for the sparse mask transport, or None when the
-        transport is off (env opt-out, tiny maps where windowing is also off,
-        dense-content sessions that repeatedly overflow the largest useful
-        rung). When this returns a budget, dispatch() drops the window crop
-        entirely (crop_h = crop_w = None): the pack's sparse sections
-        reconstruct the full plane."""
+        """Word budget for THIS dispatch, or None when the transport is off
+        (env opt-out, tiny maps where windowing is also off, dense-content
+        sessions that repeatedly overflow the largest useful rung). When it
+        returns a budget, dispatch() drops the window crop entirely
+        (crop_h = crop_w = None): the pack's sparse sections reconstruct the
+        full plane.
+
+        NOT a pure query: it steps the probation counter and clamps the
+        rung to the geometry, so it must be called exactly ONCE per dispatch
+        (the _scales_band_size lesson — a second caller would corrupt the
+        hysteresis). Debug/logging should read _sp_rung directly."""
         if not _sparse_mode():
             return None
         g = self.geom
