@@ -93,3 +93,38 @@ def test_tpu_matches_golden_detections(name):
     for l, e in zip(lines, expected):
         assert math.hypot(l.p0.x - e[0], l.p0.y - e[1]) <= 1.5
         assert math.hypot(l.p1.x - e[2], l.p1.y - e[3]) <= 1.5
+
+
+# Real 2560x1440 game screenshots through the BATCH pipeline (the throughput
+# mode): detections must match the same per-frame goldens. Covers the batch
+# hostpack, the sparse mask sections, the per-frame red gates (a sleeping
+# frame padding the batch), and the bbox-sliced host stages on real content.
+BATCH_SAMPLES = ["points.png", "point_far.png", "glorious.png", "in_mortar.png"]
+
+
+@pytest.mark.slow
+def test_batch_pipeline_matches_goldens():
+    from smh_tpu.squadex.capture import load_frame_bgra
+    from smh_tpu.vision.batch import BatchPipeline
+
+    frames = [
+        load_frame_bgra(str(REFERENCE_SAMPLES / n)) for n in BATCH_SAMPLES
+    ]
+    h, w = frames[0].shape[:2]
+    assert all(f.shape[:2] == (h, w) for f in frames)
+    bp = BatchPipeline(w, h, batch=len(frames), ocr_engine=None)
+    assert bp.sparse_budget is not None  # real-res corpus: sparse active
+    results = bp.process(frames)
+    bp.close()
+    for name, res in zip(BATCH_SAMPLES, results):
+        golden = GOLDENS[name]
+        assert not res.sleeping and not golden["sleeping"], name
+        expected = golden["lines"]
+        assert len(res.markers) == len(expected), (name, res.markers, expected)
+        for l, e in zip(res.markers, expected):
+            assert math.hypot(l.p0.x - e[0], l.p0.y - e[1]) <= 1.5, name
+            assert math.hypot(l.p1.x - e[2], l.p1.y - e[3]) <= 1.5, name
+        if golden.get("minimap") and res.minimap_bounds is not None:
+            ml, mt, mr, mb = golden["minimap"]
+            bmap = res.minimap_bounds
+            assert (bmap.left, bmap.top, bmap.right, bmap.bottom) == (ml, mt, mr, mb), name
