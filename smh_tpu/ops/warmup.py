@@ -65,6 +65,18 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
                 be.crop_to_map(grayscale)
                 be._sp_rung = rung  # undo the consume-side shrink bookkeeping
             be._sp_rung = _SP_RUNG_DEFAULT
+            # The probation fallback bucket: after repeated sparse misses
+            # (dense content) the backend steps aside to the WINDOW ladder
+            # at its starting rung — compile that shape too, or the step-
+            # aside pays a live mid-session compile. (Escalations past
+            # rung _SP_RUNG_DEFAULT+2 land on dense scenes that are headed
+            # for this same probation, so the window bucket covers them.)
+            be._sp_probation = 1
+            be.dispatch(grayscale)
+            be.crop_to_map(grayscale)
+            be._sp_probation = 0
+            be._sp_miss_streak = 0
+            be._sp_rung = _SP_RUNG_DEFAULT
         elif be._ladder_h is not None:
             for rung in range(len(be._ladder_h)):
                 be._rung_h = be._rung_w = rung

@@ -34,7 +34,13 @@ class Frame:
 
 class FrameSource(Protocol):
     def grab(self) -> Optional[Frame]:
-        """Return the current frame (may be identical to the previous one)."""
+        """Return the current frame (may be identical to the previous one).
+
+        CONTRACT: the returned buffer must never be mutated afterwards —
+        the mailbox's duplicate test keeps a reference to the previous
+        frame and treats object identity as equality (CaptureThread.
+        _frames_equal). A source that recycles its grab buffer (the mss/
+        dxcam pattern) must hand out copies."""
         ...
 
 

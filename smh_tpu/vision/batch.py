@@ -84,12 +84,16 @@ class BatchPipeline:
         # keeps one jit bucket. 2048 words = 16 KB of pack sections per
         # frame; a real 4K marker mask is ~600 words, so misses are rare and
         # each costs one extra (batched) fetch, not a detection error.
-        from .tpu_backend import _sparse_mode
+        from .tpu_backend import _MIN_WINDOWED_MASK_BYTES, _sparse_mode
 
         self.sparse_budget: Optional[int] = None
-        if _sparse_mode() and mask_bytes > 16 * 1024:
+        if _sparse_mode() and mask_bytes > _MIN_WINDOWED_MASK_BYTES:
             self.sparse_budget = min(2048, mask_bytes // 16)
-        if self.sparse_budget is not None or lsd_window is None or mask_bytes <= 16 * 1024:
+        if (
+            self.sparse_budget is not None
+            or lsd_window is None
+            or mask_bytes <= _MIN_WINDOWED_MASK_BYTES
+        ):
             self.crop_h: Optional[int] = None
             self.crop_w: Optional[int] = None
         else:
@@ -215,28 +219,25 @@ class BatchPipeline:
     def _delta_updates(self, rois: np.ndarray, n: int):
         """Per-frame changed-chunk updates against the chain, or None when a
         frame changed too much (the full batch upload wins)."""
-        from .tpu_backend import _DELTA_CHUNK, _DELTA_SUB, _delta_bucket
+        from .tpu_backend import (
+            _DELTA_CHUNK,
+            _DELTA_SUB,
+            _delta_bucket,
+            _refine_subchunks,
+        )
 
-        # Two-level diff (same scheme as the per-frame backend): compare at
-        # 128 B granularity, refine the changed chunks to 32 B sub-chunks
-        # from the SAME elementwise compare — the planar layout spreads a
-        # changed region across 3 plane runs, and 32 B rounding carries it
-        # in ~2.6x fewer upload bytes at no extra compare cost.
+        # Two-level diff, shared with the per-frame backend (tpu_backend.
+        # _refine_subchunks): compare at 128 B, refine to 32 B sub-chunks
+        # from the SAME elementwise compare.
         n_chunks = rois.shape[1] // _DELTA_CHUNK
-        sub = _DELTA_CHUNK // _DELTA_SUB
-        n_sub = n_chunks * sub
+        n_sub = n_chunks * (_DELTA_CHUNK // _DELTA_SUB)
         prev64 = self._mirror.view(np.uint64).reshape(n_chunks, -1)
         changed: list[np.ndarray] = []
         for i in range(n):
             cur64 = rois[i].view(np.uint64).reshape(n_chunks, -1)
             ne = cur64 != prev64
             ch = np.flatnonzero(ne.any(axis=1)).astype(np.int32)
-            if ch.size == 0:
-                ch32 = np.zeros(1, dtype=np.int32)
-            else:
-                d32 = ne[ch].reshape(ch.size, sub, -1).any(axis=2)
-                ch32 = (ch[:, None] * sub + np.arange(sub, dtype=np.int32))[d32]
-            changed.append(ch32)
+            changed.append(_refine_subchunks(ne, ch))
             prev64 = cur64
         bucket = _delta_bucket(max(c.size for c in changed), n_sub)
         if bucket is None:

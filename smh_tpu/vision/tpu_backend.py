@@ -99,6 +99,19 @@ _DELTA_BUCKETS = tuple(
 )
 
 
+def _refine_subchunks(ne: "np.ndarray", changed: "np.ndarray") -> "np.ndarray":
+    """Two-level delta refine: given the u64-view elementwise compare
+    `ne` [n_chunks, words] and the changed 128 B chunk indices, return the
+    changed 32 B sub-chunk indices — re-reading the SAME compare, so the
+    refine costs no extra passes. Shared by the per-frame backend and the
+    batch chain (their transports must never diverge)."""
+    sub = _DELTA_CHUNK // _DELTA_SUB
+    if changed.size == 0:
+        return np.zeros(1, dtype=np.int32)  # flags may still differ
+    d32 = ne[changed].reshape(changed.size, sub, -1).any(axis=2)
+    return (changed[:, None] * sub + np.arange(sub, dtype=np.int32))[d32]
+
+
 def _delta_bucket(n: int, n_chunks: int) -> Optional[int]:
     """Smallest ladder bucket holding n changed chunks, or None when the
     bucketed upload would not materially undercut a full upload."""
@@ -408,16 +421,8 @@ class TpuBackend:
                 != self._mirror.view(np.uint64).reshape(n_chunks, -1)
             )
             changed = np.flatnonzero(ne.any(axis=1)).astype(np.int32)
-            # Refine to 32 B sub-chunks from the same compare (no new passes).
-            sub = _DELTA_CHUNK // _DELTA_SUB
-            n_sub = n_chunks * sub
-            if changed.size == 0:
-                changed32 = np.zeros(1, dtype=np.int32)  # flags may differ
-            else:
-                d32 = ne[changed].reshape(changed.size, sub, -1).any(axis=2)
-                changed32 = (
-                    changed[:, None] * sub + np.arange(sub, dtype=np.int32)
-                )[d32]
+            changed32 = _refine_subchunks(ne, changed)
+            n_sub = n_chunks * (_DELTA_CHUNK // _DELTA_SUB)
             bucket = _delta_bucket(int(changed32.size), n_sub)
             if bucket is not None:
                 idx = np.empty(bucket, dtype=np.int32)
@@ -495,8 +500,9 @@ class TpuBackend:
         # Largest rung that still undercuts shipping the full plane: at
         # 8 bytes/word the sparse sections reach mask_bytes at budget
         # mask_bytes/8; beyond ~half of that, sparse stops paying.
-        budget = _SPARSE_BUDGETS[min(self._sp_rung, len(_SPARSE_BUDGETS) - 1)]
-        while budget * 8 >= mask_bytes and budget > _SPARSE_BUDGETS[0]:
+        self._sp_rung = min(self._sp_rung, len(_SPARSE_BUDGETS) - 1)
+        budget = _SPARSE_BUDGETS[self._sp_rung]
+        while budget * 8 >= mask_bytes and self._sp_rung > 0:
             self._sp_rung -= 1
             budget = _SPARSE_BUDGETS[self._sp_rung]
         if budget * 8 >= mask_bytes:
@@ -504,8 +510,13 @@ class TpuBackend:
         return budget
 
     def _adapt_sp_rung(self, nz: int, budget: int) -> None:
-        """Escalate immediately on (near-)overflow, shrink after a sustained
-        streak — the same hysteresis shape as the window ladder."""
+        """Escalate PROACTIVELY when the word count nears the budget (the
+        5/4 slack, so a growing marker drag steps up before it overflows —
+        the window ladder's behaviour), escalate on an actual miss, shrink
+        after a sustained streak. The rung is always clamped to the ladder:
+        repeated top-rung misses used to push it past the end, and a later
+        resolution change then indexed _SPARSE_BUDGETS out of range."""
+        top = len(_SPARSE_BUDGETS) - 1
         need = nz * _SP_SLACK_NUM // _SP_SLACK_DEN
         want = 0
         for i, b in enumerate(_SPARSE_BUDGETS):
@@ -514,7 +525,7 @@ class TpuBackend:
                 break
         if nz > budget:
             self._sp_miss_streak += 1
-            self._sp_rung = max(self._sp_rung + 1, want)
+            self._sp_rung = min(max(self._sp_rung + 1, want), top)
             self._sp_streak = 0
             if self._sp_miss_streak >= _SP_OFF_AFTER:
                 # Dense content: the mask has outgrown what sparse can carry
@@ -524,7 +535,12 @@ class TpuBackend:
                 self._sp_probation = 1
             return
         self._sp_miss_streak = 0
-        if want < self._sp_rung:
+        if want > self._sp_rung:
+            # Fits today but within the slack of overflowing: step up NOW so
+            # the next frame's growth does not cost a full-mask fallback.
+            self._sp_rung = min(want, top)
+            self._sp_streak = 0
+        elif want < self._sp_rung:
             self._sp_streak += 1
             if self._sp_streak >= _SHRINK_AFTER:
                 self._sp_rung -= 1

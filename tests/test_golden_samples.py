@@ -97,13 +97,17 @@ def test_tpu_matches_golden_detections(name):
 
 # Real 2560x1440 game screenshots through the BATCH pipeline (the throughput
 # mode): detections must match the same per-frame goldens. Covers the batch
-# hostpack, the sparse mask sections, the per-frame red gates (a sleeping
-# frame padding the batch), and the bbox-sliced host stages on real content.
+# hostpack, the sparse mask sections, the per-frame red gate (one frame with
+# the close-button blacked out must come back sleeping), batch padding
+# (batch > len(frames)), and the bbox-sliced host stages on real content.
 BATCH_SAMPLES = ["points.png", "point_far.png", "glorious.png", "in_mortar.png"]
 
 
 @pytest.mark.slow
 def test_batch_pipeline_matches_goldens():
+    import numpy as np
+
+    from smh_tpu import consts as C_
     from smh_tpu.squadex.capture import load_frame_bgra
     from smh_tpu.vision.batch import BatchPipeline
 
@@ -112,10 +116,18 @@ def test_batch_pipeline_matches_goldens():
     ]
     h, w = frames[0].shape[:2]
     assert all(f.shape[:2] == (h, w) for f in frames)
-    bp = BatchPipeline(w, h, batch=len(frames), ocr_engine=None)
+    # A sleeping frame at the corpus resolution: black out the close-button
+    # region so the red gate fails (the real sleeping samples are other
+    # resolutions; the gate itself is what matters).
+    sleeper = frames[0].copy()
+    g = C_.map_geometry(w, h)
+    sleeper[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w] = np.uint8(0)
+    bp = BatchPipeline(w, h, batch=len(frames) + 2, ocr_engine=None)
     assert bp.sparse_budget is not None  # real-res corpus: sparse active
-    results = bp.process(frames)
+    results = bp.process(frames + [sleeper])  # 5 frames in a 6-batch: padding
     bp.close()
+    assert len(results) == len(frames) + 1
+    assert results[-1].sleeping and not results[-1].markers
     for name, res in zip(BATCH_SAMPLES, results):
         golden = GOLDENS[name]
         assert not res.sleeping and not golden["sleeping"], name

@@ -182,6 +182,33 @@ def test_sparse_steps_aside_after_repeated_misses_then_reprobes():
     assert be._sp_miss_streak == 0
 
 
+def test_sparse_rung_never_leaves_the_ladder():
+    # Regression: repeated top-rung misses used to push _sp_rung past the
+    # ladder end; a later resolution change's clamp loop then indexed
+    # _SPARSE_BUDGETS out of range and crashed dispatch.
+    from smh_tpu.vision import tpu_backend as tb
+
+    be = TpuBackend()
+    top = len(_SPARSE_BUDGETS) - 1
+    for _ in range(tb._SP_OFF_AFTER - 1):  # stay short of probation
+        be._adapt_sp_rung(nz=_SPARSE_BUDGETS[top] * 2, budget=_SPARSE_BUDGETS[top])
+        assert be._sp_rung <= top
+    be.load_frame(testing.make_frame(W, H))  # smaller geometry re-clamps
+    assert be._sparse_budget() is not None
+    assert 0 <= be._sp_rung <= top
+
+
+def test_sparse_rung_escalates_before_the_first_miss():
+    # The 5/4 slack steps the rung up while the mask still FITS, so a
+    # growing marker drag never pays the full-mask fallback at a boundary.
+    be = TpuBackend()
+    be._sp_rung = _SP_RUNG_DEFAULT
+    budget = _SPARSE_BUDGETS[_SP_RUNG_DEFAULT]
+    be._adapt_sp_rung(nz=budget - 10, budget=budget)  # within slack of the top
+    assert be._sp_rung > _SP_RUNG_DEFAULT
+    assert be.stats["lsd_sparse_misses"] == 0
+
+
 def test_sparse_rung_shrinks_after_streak():
     from smh_tpu.vision import tpu_backend as tb
 
