@@ -203,13 +203,7 @@ def _pack_words32(mask_bool: jnp.ndarray) -> jnp.ndarray:
     Computed straight from the bools with one weighted sum — bitcasting
     pack_bits' u8 output to u32 instead crosses the (32,128)->(8,128) tile
     layouts (a shift+or-reduce lowering the cost model flags at 87% of the
-    standalone compaction program's cycles). NOTE (round 3, measured): the
-    sparse sections still add ~1.3 ms to the 4K dispatch wherever they are
-    formulated — weighted-sum vs MXU-matvec packs, in-program vs fissioned
-    programs, with/without operand barriers all measure the same; the
-    per-op probes of every constituent (pack, cumsum, scatter) are ~25 us.
-    The residual is an XLA scheduling interaction a Pallas compaction
-    kernel would sidestep — the round-4 target in ROADMAP.md."""
+    standalone compaction program's cycles)."""
     h, w = mask_bool.shape
     w32 = ((w + 31) // 32) * 32
     padded = jnp.pad(mask_bool, ((0, 0), (0, w32 - w))).reshape(h, w32 // 32, 32)
@@ -222,13 +216,37 @@ def _pack_words32(mask_bool: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _compact_words(words: jnp.ndarray, budget: int):
+def _compact_words(words: jnp.ndarray, budget: int, engine: str | None = None):
     """First `budget` nonzero words of a flat u32 plane: (nz i32 scalar =
     TOTAL nonzero count, idx i32 [budget], dat u32 [budget]); slots past
-    min(nz, budget) are zero. Prefix-sum scatter — 25 us for the ~139K-word
-    4K grid on a v5e, where a sort/top_k formulation costs ~1.4 ms."""
+    min(nz, budget) are zero.
+
+    engine "search" (default): binary search of each output rank over the
+    monotonic inclusive prefix count (searchsorted + two gathers — NO
+    scatter op). "scatter": prefix-sum scatter — kept as the cross-check
+    twin because its in-context lowering inside the fused 4K pass costs
+    ~1.2 ms where the search engine costs ~0.15 ms (interleaved A/B on a
+    real v5e: 2.9 vs 3.95 ms full-dispatch, no-sparse control 2.75; the
+    scatter probes fast standalone, so the cost is its lowering inside the
+    large program). Both are exact and produce identical sections.
+    SMH_COMPACT overrides the default — read at TRACE time, so set it
+    before the first dispatch (same-shape retraces won't pick up a flip)."""
+    if engine is None:
+        engine = os.environ.get("SMH_COMPACT", "search")
     nzmask = words != jnp.uint32(0)
-    pos = jnp.cumsum(nzmask.astype(jnp.int32)) - 1
+    count = jnp.cumsum(nzmask.astype(jnp.int32))  # inclusive: rank+1 at hits
+    nz = count[-1]
+    if engine == "search":
+        # found[j] = first i with count[i] == j+1 = the j-th nonzero word.
+        found = jnp.searchsorted(
+            count, jnp.arange(1, budget + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(nz, budget)
+        src = jnp.where(valid, jnp.minimum(found, words.size - 1), 0)
+        dat = jnp.where(valid, words[src], jnp.uint32(0))
+        idx = jnp.where(valid, src, 0)
+        return nz, idx, dat
+    pos = count - 1
     oidx = jnp.where(nzmask & (pos < budget), pos, budget)
     dat = (
         jnp.zeros((budget + 1,), jnp.uint32).at[oidx].set(words, mode="drop")[:budget]
@@ -238,7 +256,7 @@ def _compact_words(words: jnp.ndarray, budget: int):
         .at[oidx]
         .set(jnp.arange(words.size, dtype=jnp.int32), mode="drop")[:budget]
     )
-    return nzmask.sum(dtype=jnp.int32), idx, dat
+    return nz, idx, dat
 
 
 def _sparse_words(mask_bool: jnp.ndarray, budget: int):
