@@ -16,7 +16,7 @@ latency-bound host relay (~25 ms/transfer D2H, ~20 MB/s):
   markers_p50_ms       e2e with the scales branch async (production config)
   fps_pipelined        sustained double-buffered live-loop throughput
   batched_ms_per_frame 8-frame batch mode, per frame
-  hostpack_bytes       steady-state critical-path payload (windowed crop)
+  hostpack_bytes       steady-state critical-path payload (sparse sections)
   lsd_window_misses / scalespack_fetches  payload-machinery health counters
 
 Measurement discipline: the sync p50 is the median of --reps independent
