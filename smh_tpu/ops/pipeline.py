@@ -22,8 +22,8 @@ transfer costs ~25 ms of latency plus ~20 MB/s of bandwidth, so the per-frame
 fetch carries only what the markers path needs:
 
   * the LSD mask travels SPARSE (default, round 3+): the device compacts the
-    nonzero u32 words of the bit-packed plane with a prefix-sum scatter
-    (~25 us at 4K) and the pack carries indices + words under a static
+    nonzero u32 words of the bit-packed plane (searchsorted-gather, ~0.15 ms
+    at 4K) and the pack carries indices + words under a static
     budget — ~5 KB for a real 4K marker mask. Reconstruction is the full
     plane bit-for-bit, so detection is exactly the full-mask computation.
     nz > budget is a detected miss: the host falls back to fetching the full
@@ -244,8 +244,7 @@ def _compact_words(words: jnp.ndarray, budget: int, engine: str | None = None):
         valid = jnp.arange(budget, dtype=jnp.int32) < jnp.minimum(nz, budget)
         src = jnp.where(valid, jnp.minimum(found, words.size - 1), 0)
         dat = jnp.where(valid, words[src], jnp.uint32(0))
-        idx = jnp.where(valid, src, 0)
-        return nz, idx, dat
+        return nz, src, dat  # src doubles as idx (0 in invalid slots)
     pos = count - 1
     oidx = jnp.where(nzmask & (pos < budget), pos, budget)
     dat = (
@@ -705,7 +704,7 @@ def hostpack_layout(
 
     sparse_budget: when set, the mask travels SPARSE instead of as a window
     crop: the fused pass compacts the nonzero u32 words of the bit-packed
-    full-map mask (prefix-sum scatter, ~25 us on a v5e at 4K) and the pack
+    full-map mask (searchsorted-gather, ~0.15 ms on a v5e at 4K) and the pack
     carries `lsd_nz` (i32 total nonzero words) + `lsd_sp_idx` (i32 flat word
     indices) + `lsd_sp_dat` (the u32 words) sized to the static budget. A
     real dilated marker mask is ~600 nonzero words at 4K (~5 KB) where the

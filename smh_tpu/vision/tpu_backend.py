@@ -34,6 +34,7 @@ detection because the window carries LSD_CROP_MARGIN black context
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -257,8 +258,6 @@ _SP_OFF_AFTER = 3
 
 
 def _sparse_mode() -> bool:
-    import os
-
     return os.environ.get("SMH_SPARSE", "1") != "0"
 
 
@@ -312,9 +311,7 @@ class TpuBackend:
         #   _mirror        host copy of _resident's contents (diff base)
         #   _pending       what dispatch() must upload-apply for this frame
         #   _pending_host  host packed buffer of the loaded frame
-        import os as _os
-
-        self.delta_mode = _os.environ.get("SMH_DELTA", "auto")
+        self.delta_mode = os.environ.get("SMH_DELTA", "auto")
         self._resident: Optional[jax.Array] = None
         self._mirror: Optional[np.ndarray] = None
         self._pending: Optional[tuple] = None

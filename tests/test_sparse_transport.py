@@ -128,8 +128,8 @@ def test_sparse_detections_match_oracle_and_window():
     finally:
         del os.environ["SMH_SPARSE"]
     assert got == got_win  # bit-identical across transports (same engine)
-    want = lines_round(oracle_lines(frame))
-    assert [tuple(round(v, 1) for pair in t for v in pair) for t in got] == want
+    got_r = [tuple(round(v, 1) for pair in t for v in pair) for t in got]
+    assert got_r == lines_round(oracle_lines(frame))
 
 
 def test_sparse_pack_is_small():
