@@ -412,7 +412,10 @@ def main() -> None:
         markers_p50 = amed
         astate.close()
         fps_pipelined = measure_pipelined_fps(w, h, 4.0 if args.quick else 8.0)
-        batched_ms, _ = measure_batched(w, h, 3 if args.quick else 6, batch=args.batch)
+        # 10 batches in full mode: the relay stalls single exchanges for
+        # 10-20 s at random (~1-3 per run); a median over 6 could tip if a
+        # run catches several, over 10 it stays the steady state.
+        batched_ms, _ = measure_batched(w, h, 3 if args.quick else 10, batch=args.batch)
 
     out = {
         "metric": f"{args.res}_frame_to_markers_scales_p50_latency",
