@@ -286,13 +286,85 @@ def measure_batched(w: int, h: int, iters: int, batch: int = 8) -> tuple[float, 
     # Steady-state per-batch latency: the relay stalls single exchanges for
     # 10-20 s at random, independent of workload shape, and in a bad phase
     # HALF the batches can catch one — a plain median then measures the
-    # stalls, not the pipeline. Trim: drop batches >5x the fastest (a real
-    # workload batch cannot be 5x another — same frames, same shapes), take
-    # the median of the rest, and surface how many were trimmed.
-    floor = min(lat)
+    # stalls, not the pipeline. Trim: drop batches >5x a ROBUST floor (the
+    # 25th-percentile batch — anchoring on min() would let a single
+    # downside outlier reclassify legitimate batches as stalls), take the
+    # median of the rest, and surface how many were trimmed. If trimming
+    # would leave fewer than 3 batches, keep the full set: a tiny surviving
+    # sample is worse than an honest stall-inclusive median.
+    floor = sorted(lat)[max(0, (len(lat) - 1) // 4)]
     steady = [t for t in lat if t <= 5 * floor]
+    if len(steady) < min(3, len(lat)):
+        steady = lat
     stats["stalled_batches"] = len(lat) - len(steady)
     return statistics.median(steady) * 1000.0 / batch, stats
+
+
+def measure_worker(w: int, h: int, iters: int, stream_s: float = 6.0) -> dict:
+    """The co-located worker deployment shape (smh_tpu/worker.py), measured
+    ACROSS the process boundary: shm frame write + socket signal + pipeline
+    + result line back.
+
+      worker_e2e_p50_ms   submit->result round trip, one frame in flight
+                          (client waits; the worker sees request/response)
+      worker_fps          sustained streaming rate (client submits as fast
+                          as the ring accepts; worker pipelines depth 3)
+
+    MUST run before the calling process touches jax: the worker owns the
+    device client (two concurrent clients contend on this relay)."""
+    import statistics as st
+    import threading
+
+    from smh_tpu.worker import WorkerClient
+
+    results: dict[int, dict] = {}
+    cond = threading.Condition()
+    count = [0]
+
+    def on_result(msg):
+        with cond:
+            results[msg["seq"]] = msg
+            count[0] += 1
+            cond.notify_all()
+
+    wc = WorkerClient(w, h, on_result)
+    out: dict = {}
+    try:
+        assert wc.wait_ready(timeout=900), "worker never became ready"
+        frames = make_bench_frames(w, h)
+        lats = []
+        for i in range(iters):
+            img = frames[i % len(frames)]
+            t0 = time.perf_counter()
+            seq = wc.submit(img)
+            assert seq is not None
+            with cond:
+                while seq not in results:
+                    cond.wait(120)
+            lats.append((time.perf_counter() - t0) * 1000.0)
+            msg = results.pop(seq)
+            assert not msg["sleeping"] and msg["markers"], msg
+        out["worker_e2e_p50_ms"] = round(st.median(lats), 3)
+        # Streaming: saturate the ring; the worker's internal pipelining
+        # overlaps its background fetches with the host stages.
+        with cond:
+            n0 = count[0]
+        t0 = time.perf_counter()
+        i = 0
+        while time.perf_counter() - t0 < stream_s:
+            wc.submit(frames[i % len(frames)])  # drops when ring is full
+            i += 1
+            time.sleep(0.001)
+        with cond:
+            while count[0] == n0 and time.perf_counter() - t0 < 4 * stream_s:
+                cond.wait(1.0)
+            n1 = count[0]
+        elapsed = time.perf_counter() - t0
+        out["worker_fps"] = round((n1 - n0) / elapsed, 2)
+        out["worker_restarts"] = wc.restarts
+    finally:
+        wc.close()
+    return out
 
 
 def main() -> None:
@@ -302,7 +374,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument(
-        "--mode", default="full", choices=["full", "latency", "batch", "stream"]
+        "--mode", default="full", choices=["full", "latency", "batch", "stream", "worker"]
     )
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ocr", default="smhocr", choices=["smhocr", "tesseract"],
@@ -316,6 +388,15 @@ def main() -> None:
     iters = 10 if args.quick else args.iters
     reps = 2 if args.quick else args.reps
 
+    if args.mode == "worker":
+        wout = measure_worker(w, h, max(6, iters // 4))
+        print(json.dumps({
+            "metric": f"{args.res}_worker_e2e_p50_latency",
+            "value": wout["worker_e2e_p50_ms"], "unit": "ms",
+            "vs_baseline": round(8.0 / wout["worker_e2e_p50_ms"], 4),
+            **wout,
+        }))
+        return
     if args.mode == "batch":
         per_frame_ms, bstats = measure_batched(w, h, max(4, iters // 2), batch=args.batch)
         print(json.dumps({
@@ -346,6 +427,17 @@ def main() -> None:
 
     from smh_tpu.ops import pipeline as ops_pipeline
     from smh_tpu.squadex.capture import Frame
+
+    # Worker deployment shape FIRST: the worker process owns the device
+    # client, and it must not contend with this process's own jax client
+    # (spawn, measure across the socket, close — THEN init jax here).
+    worker_metrics: dict = {}
+    if args.mode == "full":
+        try:
+            worker_metrics = measure_worker(w, h, 6 if args.quick else 12)
+        except Exception as e:  # the in-process metrics must still record
+            print(f"worker measurement failed: {e}", file=sys.stderr)
+            worker_metrics = {"worker_error": str(e)[:200]}
 
     state = build_state(ocr=args.ocr)
     frames = [Frame(f, dpi=96) for f in make_bench_frames(w, h)]
@@ -459,6 +551,7 @@ def main() -> None:
         out["batched_ms_per_frame"] = round(batched_ms, 3)
         out["fps_batched"] = round(1000.0 / batched_ms, 2)
         out["batched_stalled_batches"] = bstats_full.get("stalled_batches")
+    out.update(worker_metrics)
     print(json.dumps(out))
 
 

@@ -74,8 +74,14 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
             be._sp_probation = 1
             be.dispatch(grayscale)
             be.crop_to_map(grayscale)
+            # A live session must start with VIRGIN hysteresis: the warm
+            # frames above advanced the shrink/miss streaks on synthetic
+            # content (consume-side _adapt_sp_rung runs on every
+            # crop_to_map), and inheriting that residue would bias the
+            # first real shrink/step-aside decisions.
             be._sp_probation = 0
             be._sp_miss_streak = 0
+            be._sp_streak = 0
             be._sp_rung = _SP_RUNG_DEFAULT
         elif be._ladder_h is not None:
             for rung in range(len(be._ladder_h)):

@@ -339,6 +339,10 @@ class CaptureThread:
         self._consumed.set()
         self._shutdown = threading.Event()
         self._last_image: Optional[np.ndarray] = None
+        # Small sampled copy of the last published frame: guards the `a is b`
+        # dedup shortcut against a source that RECYCLES its grab buffer (the
+        # mss/dxcam pattern) — same object, new pixels. ~16 KB at 4K.
+        self._last_sample: Optional[np.ndarray] = None
         self._thread: Optional[threading.Thread] = None
 
     def fresh_frame(self) -> Optional[Frame]:
@@ -355,10 +359,16 @@ class CaptureThread:
         even when the scene is static — used when a runtime setting changes
         what the pipeline renders (grayscale_map / backend flips)."""
         self._last_image = None
+        self._last_sample = None
         self._consumed.set()
 
-    @staticmethod
-    def _frames_equal(a: np.ndarray, b: Optional[np.ndarray]) -> bool:
+    _SAMPLE_STRIDE = 8191  # prime: samples stay unaligned with row pitches
+
+    @classmethod
+    def _sample(cls, image: np.ndarray) -> np.ndarray:
+        return image.reshape(-1)[:: cls._SAMPLE_STRIDE].copy()
+
+    def _frames_equal(self, a: np.ndarray, b: Optional[np.ndarray]) -> bool:
         """Duplicate-frame test, replacing the reference's whole-frame crc32
         (src/capture.rs:44-47). A crc reads the full 33 MB 4K frame every
         grab (~12 ms on this 1-core host) even when the frame CHANGED — and
@@ -367,11 +377,17 @@ class CaptureThread:
         first differing MiB, so changing frames cost ~0.1-0.5 ms and only
         static frames (vision idle anyway) pay the full read. Sources must
         not mutate a returned frame buffer afterwards (all of ours allocate
-        fresh or return stable preloaded arrays, so identity => equal)."""
+        fresh or return stable preloaded arrays, so identity => equal); the
+        shortcut is still GUARDED by a sampled-byte check so a source that
+        breaks the contract (recycled grab buffer) degrades to re-publishing
+        changed frames instead of silently freezing the pipeline."""
         if b is None:
             return False
         if a is b:
-            return True
+            sample = self._last_sample
+            if sample is None:  # no sample retained: republish (safe side)
+                return False
+            return bool(np.array_equal(self._sample(a), sample))
         if a.shape != b.shape or a.dtype != b.dtype:
             return False
         if not (a.flags.c_contiguous and b.flags.c_contiguous):
@@ -397,6 +413,7 @@ class CaptureThread:
                 self._shutdown.wait(self._interval)
                 continue
             self._last_image = frame.image
+            self._last_sample = self._sample(frame.image)
             # Clear BEFORE publishing: a consumer that takes the frame
             # between publish and wait would otherwise have its set() lost
             # and the capture thread would stall a tick.

@@ -121,6 +121,31 @@ def make_frame(
     return frame
 
 
+def render_text_mask(text: str, height: int = 20) -> np.ndarray:
+    """Tightly-cropped u8 0/255 glyph mask of `text` (DejaVu Sans) — for
+    tests that need raw glyph pixels outside a full frame (e.g. feeding a
+    real OCR engine directly)."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    font = None
+    for path in (
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+    ):
+        try:
+            font = ImageFont.truetype(path, height)
+            break
+        except OSError:
+            continue
+    if font is None:
+        raise RuntimeError("render_text_mask needs DejaVu Sans installed")
+    img = Image.new("L", (height * len(text) + 8, height + 12), 0)
+    ImageDraw.Draw(img).text((2, 2), text, fill=255, font=font)
+    mask = (np.asarray(img) > 128).astype(np.uint8) * np.uint8(255)
+    ys, xs = np.nonzero(mask)
+    return mask[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+
+
 def make_ocr_text_patch(
     frame: np.ndarray, brq_x: int, brq_y: int, w: int = 30, h: int = 12
 ) -> None:

@@ -400,12 +400,15 @@ class BatchPipeline:
             # uploads don't). Barrier = the previous program finished.
             # If the collector already fetched the previous hostpack
             # (all outputs of a program materialize together) the
-            # barrier is free; otherwise pay a 1-byte fetch of the
-            # chain tail (~1 relay command). Never WAIT on the
-            # collector: dispatching early lets the device start while
-            # the hostpack D2H is still streaming (measured faster).
+            # barrier is free; otherwise poll the resident's is_ready()
+            # — a FREE local check (round-4 probe: 0.01 ms) where the
+            # round-3 1-byte tail fetch cost a ~30 ms relay exchange.
+            # Never WAIT on the collector: the device finishing is a
+            # strictly earlier event than the collector's fetch.
             if self._fetched_seq < self._seq:
-                np.asarray(self._resident[:1])
+                from .tpu_backend import wait_ready
+
+                wait_ready(self._resident)
             t3 = time.perf_counter()
             self.stats["t_poke_ms"] += (t3 - t2) * 1000.0
             out = dict(ops_pipeline._analyze_batch_delta(
@@ -429,6 +432,12 @@ class BatchPipeline:
             self.stats["full_batches"] += 1
             self.stats["h2d_bytes"] += rois.size
         self._resident = out.pop("resident")
+        # Start the batch hostpack's D2H immediately: it lands in the
+        # background while the next batch packs/diffs, so collect()'s
+        # np.asarray is ~free instead of a ~30 ms synchronizing exchange.
+        from .tpu_backend import start_fetch
+
+        start_fetch(out["hostpack"])
         # Copy: a row view would keep the whole packed batch (~80 MB at 4K,
         # B=8) alive in host RAM until the next submit replaces it.
         self._mirror = rois[n - 1].copy()

@@ -261,8 +261,13 @@ class VisionState:
         shares = debug.timeshares
         start = time.perf_counter()
 
-        if submitted is not None and hasattr(backend, "adopt_job"):
-            backend.adopt_job(submitted["job"])
+        if submitted is not None:
+            # Consume the submitted frame through its snapshot VIEW: per-frame
+            # state frozen at dispatch time, adaptation state shared with the
+            # live backend — a concurrent submit(N+1) cannot disturb it (and
+            # vice versa), which is what lets the loop run submit and consume
+            # on different threads.
+            backend = submitted["job"]
             minimap_due = submitted["minimap_due"]
             frame_size = submitted["frame_size"]
         else:
@@ -504,17 +509,27 @@ class VisionLoop:
         on_update,
         fps: float = float(C.VISION_FPS),
         pipelined: bool = False,
+        depth: int = 3,
     ) -> None:
-        """pipelined=True keeps two frames in flight: frame N+1's upload +
-        device dispatch overlaps frame N's result fetch + host stages (the
-        BASELINE "double-buffered streaming capture" configuration; ~25-30%
-        higher throughput on a latency-bound host link, at +1 frame of
-        result latency)."""
+        """pipelined=True keeps up to `depth` frames in flight: frame N's
+        upload + device dispatch + background hostpack D2H overlap the host
+        stages of frames N-1..N-depth+1 (the BASELINE "double-buffered
+        streaming capture" configuration, deepened).
+
+        depth sizes the window against the relay's fetch completion latency:
+        the hostpack lands ~35-45 ms after dispatch (background transfer,
+        docs/DESIGN.md §3) while the per-frame host half is ~17 ms at 4K, so
+        depth 3 hides the fetch entirely (throughput ≈ host CPU) where
+        depth 2 pays ~half of it. At the production 15 FPS cap the 66 ms
+        frame interval exceeds the fetch latency, so every pending frame
+        drains immediately and depth adds NO result latency; it only matters
+        when the loop runs uncapped (benching, offline)."""
         self.state = state
         self.capture = capture
         self.on_update = on_update
         self._interval = 1.0 / fps
         self.pipelined = pipelined
+        self.depth = max(2, depth)
         self._shutdown = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.fake_input: Optional[np.ndarray] = None  # Fake Input harness
@@ -544,21 +559,28 @@ class VisionLoop:
         self.on_update(results, debug)
 
     def _run(self) -> None:
-        pending: Optional[tuple[Frame, dict]] = None
+        from collections import deque
+
+        # Pending submitted frames, oldest first; at most depth-1 wait here
+        # (the depth-th is the one being submitted).
+        pending: deque[tuple[Frame, dict]] = deque()
+
+        def drain_one() -> None:
+            f, sub = pending.popleft()
+            self._step(f, sub)
+
         while not self._shutdown.is_set():
             if self.state.settings.paused():
-                if pending is not None:  # drain before parking
-                    self._step(pending[0], pending[1])
-                    pending = None
+                while pending:  # drain before parking
+                    drain_one()
                 self._shutdown.wait(0.05)
                 continue
 
             frame = self._next_frame()
 
             if frame is None:
-                if pending is not None:
-                    self._step(pending[0], pending[1])
-                    pending = None
+                if pending:
+                    drain_one()
                     continue
                 self._shutdown.wait(self._interval)
                 continue
@@ -568,26 +590,25 @@ class VisionLoop:
             if self.pipelined:
                 sub = self.state.submit(frame)
                 if sub is not None:
-                    if pending is not None:
-                        self._step(pending[0], pending[1])
-                    pending = (frame, sub)
+                    pending.append((frame, sub))
+                    if len(pending) >= self.depth:
+                        drain_one()
                     elapsed = time.perf_counter() - t0
                     if elapsed < self._interval:
                         self._shutdown.wait(self._interval - elapsed)
                     continue
                 # Backend can't pipeline: keep delivery order — drain the
-                # older pending frame before processing this one.
-                if pending is not None:
-                    self._step(pending[0], pending[1])
-                    pending = None
+                # older pending frames before processing this one.
+                while pending:
+                    drain_one()
 
             self._step(frame)
             elapsed = time.perf_counter() - t0
             if elapsed < self._interval:
                 self._shutdown.wait(self._interval - elapsed)
 
-        if pending is not None:
-            self._step(pending[0], pending[1])
+        while pending:
+            drain_one()
         log.info("vision loop shutting down")
 
     def start(self) -> "VisionLoop":

@@ -100,6 +100,42 @@ _DELTA_BUCKETS = tuple(
 )
 
 
+def start_fetch(arr) -> None:
+    """Begin the D2H of a jit output WITHOUT waiting for it.
+
+    Round-4 relay probes (docs/DESIGN.md §3): `copy_to_host_async` starts the
+    transfer immediately and it completes in the BACKGROUND (~35-45 ms after
+    dispatch for the hostpack), overlapping host work and other transfers —
+    two async copies cost ~38 ms wall where two synchronous fetches cost
+    ~98 ms. A later np.asarray on the completed copy is ~0.1 ms. This turns
+    the per-frame fetch from a serializing ~30 ms exchange into background
+    IO whenever ANY host work (pack/diff of the next frame, LSD scan of the
+    previous one) runs between dispatch and consume."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:  # pragma: no cover - sharded/committed corner cases
+        pass
+
+
+def wait_ready(arr, poll_s: float = 0.0005, force_after_s: float = 60.0) -> None:
+    """Block until a jit output is materialized, via the FREE local
+    `is_ready()` check (measured 0.01 ms on this relay) instead of a
+    synchronizing exchange (np.asarray on a not-yet-ready array enters a
+    ~30 ms wait path even when the data lands earlier). Falls back to a
+    forcing fetch if readiness never flips (relay hiccup)."""
+    import time as _time
+
+    deadline = _time.monotonic() + force_after_s
+    try:
+        while not arr.is_ready():
+            _time.sleep(poll_s)
+            if _time.monotonic() > deadline:  # pragma: no cover - relay stall
+                np.asarray(arr if arr.ndim == 0 else arr.ravel()[:1])
+                return
+    except AttributeError:  # pragma: no cover - non-jax array
+        pass
+
+
 def _refine_subchunks(ne: "np.ndarray", changed: "np.ndarray") -> "np.ndarray":
     """Two-level delta refine: given the u64-view elementwise compare
     `ne` [n_chunks, words] and the changed 128 B chunk indices, return the
@@ -255,10 +291,76 @@ _SP_SLACK_NUM, _SP_SLACK_DEN = 5, 4
 # Consecutive sparse misses before the transport concedes the session content
 # is dense and steps aside for the window ladder (re-probed later).
 _SP_OFF_AFTER = 3
+# Highest rung PROACTIVE (no-miss) escalation may reach = the top of the
+# neighbourhood ops/warmup compiles; keeps guess-driven escalation from
+# paying a mid-session jit. Actual misses may still step past it.
+_SP_WARM_MAX = _SP_RUNG_DEFAULT + 2
 
 
 def _sparse_mode() -> bool:
     return os.environ.get("SMH_SPARSE", "1") != "0"
+
+
+class _AdaptState:
+    """Cross-frame transport adaptation + display caches, SHARED by reference
+    between the backend and its consume views (snapshot_job returns a shallow
+    copy of the backend: per-frame fields diverge, this object does not, so a
+    rung escalated while consuming frame N shapes frame N+1's dispatch even
+    when N+1 is submitted from another thread). Field writes are single ints/
+    bools/refs — benign under the GIL; consume owns the adaptation writes,
+    submit only reads."""
+
+    __slots__ = (
+        "ui_check", "ui_map_cache", "ladder_h", "ladder_w",
+        "rung_h", "rung_w", "shrink_streak",
+        "sp_rung", "sp_streak", "sp_miss_streak", "sp_probation",
+        "scales_inline", "scales_last_check", "scales_stable",
+        "band_rung", "band_streak", "band_probation",
+        "disp_seq", "mat_seq",
+    )
+
+    def __init__(self) -> None:
+        self.ui_check: Optional[tuple] = None
+        self.ui_map_cache: Optional[np.ndarray] = None
+        self.ladder_h: Optional[list[int]] = None
+        self.ladder_w: Optional[list[int]] = None
+        self.rung_h = _RUNG_HALF  # start at the 1/2 window
+        self.rung_w = _RUNG_HALF
+        self.shrink_streak = 0
+        # Sparse mask transport rung ladder (see _SPARSE_BUDGETS).
+        self.sp_rung = _SP_RUNG_DEFAULT
+        self.sp_streak = 0  # comfortably-fitting frames (shrink hysteresis)
+        self.sp_miss_streak = 0  # consecutive misses (dense-content detector)
+        self.sp_probation = 0  # frames since sparse stepped aside
+        # Adaptive inline transport for the scales/OCR images.
+        self.scales_inline = True
+        self.scales_last_check = None
+        self.scales_stable = 0
+        # OCR text-row band rung ladder over brq_h.
+        self.band_rung = _RUNG_HALF
+        self.band_streak = 0
+        self.band_probation = 0
+        # Delta-chain materialization tracking (the per-frame twin of
+        # BatchPipeline._seq/_fetched_seq): disp_seq counts dispatches,
+        # mat_seq the highest dispatch whose hostpack fetch completed (all
+        # outputs of a program materialize together, so its resident is
+        # known-live). Their gap bounds the un-materialized scan-over-scan
+        # chain depth the relay is asked to hold.
+        self.disp_seq = 0
+        self.mat_seq = 0
+
+
+def _shared_field(name: str) -> property:
+    """Backend attribute delegating to the shared _AdaptState (keeps the
+    historical `backend._sp_rung`-style surface tests and warmup use)."""
+
+    def get(self):
+        return getattr(self._adapt, name)
+
+    def set(self, value):
+        setattr(self._adapt, name, value)
+
+    return property(get, set)
 
 
 class TpuBackend:
@@ -276,23 +378,17 @@ class TpuBackend:
         self._lsd_crop_host: Optional[np.ndarray] = None  # u8 0/255 crop
         self._lsd_offset: tuple[int, int] = (0, 0)  # (x, y) of crop in map
         self._march_max_len: Optional[float] = None  # bbox diag bound
+        self._job_seq = 0  # this frame's dispatch seq (chain-depth tracking)
         self._debug = False
         self._grayscale = True
         self._dispatch_flags: tuple = (True, True, True, None, None, "off", "gray", None, "off", None)
         self._host: Optional[dict] = None  # parsed hostpack sections
         self._scalespack_host: Optional[np.ndarray] = None
-        self._ui_check: Optional[tuple] = None
-        self._ui_map_cache: Optional[np.ndarray] = None
-        self._ladder_h: Optional[list[int]] = None
-        self._ladder_w: Optional[list[int]] = None
-        self._rung_h = _RUNG_HALF  # start at the 1/2 window
-        self._rung_w = _RUNG_HALF
-        self._shrink_streak = 0
-        # Sparse mask transport rung ladder (see _SPARSE_BUDGETS above).
-        self._sp_rung = _SP_RUNG_DEFAULT
-        self._sp_streak = 0  # comfortably-fitting frames (shrink hysteresis)
-        self._sp_miss_streak = 0  # consecutive misses (dense-content detector)
-        self._sp_probation = 0  # frames since sparse stepped aside
+        # Cross-frame adaptation state + display caches: one shared object so
+        # consume views (shallow copies, see snapshot_job) adapt the ladders
+        # the next submit reads. The historical flat-attribute names remain
+        # as delegating properties below the method definitions.
+        self._adapt = _AdaptState()
         self.stats = {
             "lsd_window_misses": 0,
             "lsd_sparse_misses": 0,
@@ -332,23 +428,6 @@ class TpuBackend:
         # (ops/scales_device.py). Capacity overflow falls back to the
         # scalespack + host engine for that frame.
         self.scales_device_ok = False
-        # Adaptive transport for the scales/OCR images: while their checksum
-        # keeps changing (map panning) they ride INLINE in the single
-        # hostpack fetch; after _INLINE_STABLE_AFTER unchanged frames they
-        # drop to checksum-only (zero bytes; a later change costs one lazy
-        # scalespack fetch and flips back to inline).
-        self._scales_inline = True
-        self._scales_last_check = None
-        self._scales_stable = 0
-        # OCR text-row band: the inline scales/OCR sections carry only the
-        # rows around the keep-mask bbox + the bar-scan budget (exact — see
-        # ops/pipeline.scales_scan_budget). Own rung ladder over brq_h;
-        # _band_probation re-probes a smaller band after the ladder maxed out
-        # (otherwise a single pathological frame would disable banding for
-        # the whole session).
-        self._band_rung = _RUNG_HALF
-        self._band_streak = 0
-        self._band_probation = 0
         # Minimap quiet mask cadence: the driver may skip it on frames where
         # it reuses cached minimap bounds (bounds only move on zoom changes).
         self.quiet_enabled = True
@@ -357,6 +436,27 @@ class TpuBackend:
 
             lsd_engine = "native" if native.available() else "tpu"
         self.lsd_engine = lsd_engine
+
+    # Shared adaptation/caches under the historical flat names: delegating
+    # to self._adapt keeps the documented knob surface (tests, ops/warmup)
+    # while snapshot_job's shallow copies share one adaptation state.
+    _ui_check = _shared_field("ui_check")
+    _ui_map_cache = _shared_field("ui_map_cache")
+    _ladder_h = _shared_field("ladder_h")
+    _ladder_w = _shared_field("ladder_w")
+    _rung_h = _shared_field("rung_h")
+    _rung_w = _shared_field("rung_w")
+    _shrink_streak = _shared_field("shrink_streak")
+    _sp_rung = _shared_field("sp_rung")
+    _sp_streak = _shared_field("sp_streak")
+    _sp_miss_streak = _shared_field("sp_miss_streak")
+    _sp_probation = _shared_field("sp_probation")
+    _scales_inline = _shared_field("scales_inline")
+    _scales_last_check = _shared_field("scales_last_check")
+    _scales_stable = _shared_field("scales_stable")
+    _band_rung = _shared_field("band_rung")
+    _band_streak = _shared_field("band_streak")
+    _band_probation = _shared_field("band_probation")
 
     def set_debug(self, enabled: bool) -> None:
         """When enabled, the fused pass also materializes the intermediate
@@ -535,7 +635,12 @@ class TpuBackend:
         if want > self._sp_rung:
             # Fits today but within the slack of overflowing: step up NOW so
             # the next frame's growth does not cost a full-mask fallback.
-            self._sp_rung = min(want, top)
+            # PROACTIVE escalation is capped at the warmed neighbourhood
+            # (ops/warmup compiles DEFAULT-1..DEFAULT+2): a moderately dense
+            # scene must not jit an unwarmed rung mid-session on a guess —
+            # past the cap, only an actual miss (whose fallback fetch is
+            # exact anyway) compiles higher rungs.
+            self._sp_rung = min(want, top, max(self._sp_rung, _SP_WARM_MAX))
             self._sp_streak = 0
         elif want < self._sp_rung:
             self._sp_streak += 1
@@ -673,6 +778,20 @@ class TpuBackend:
         pending, self._pending = self._pending, None
         if pending is not None and pending[0] == "delta":
             _, buf_np, bucket, nbytes = pending
+            # Chain-depth bound (the per-frame twin of BatchPipeline.submit's
+            # barrier): never let the relay hold a deep chain of dispatches
+            # whose residents are all unmaterialized — scan-over-scan chains
+            # of depth ~4 stall it for tens of seconds. Shallow chains
+            # (depth <= 3: the pipelined loop's steady state) are safe and
+            # MUST NOT barrier here: is_ready() only flips when the client
+            # learns of completion, which arrives with the background
+            # hostpack copy ~40 ms after dispatch — waiting for it on every
+            # frame would serialize the pipeline on exactly the latency the
+            # async transport hides (measured: 17.8 fps vs 24 sync).
+            a = self._adapt
+            if self._resident is not None and a.disp_seq - a.mat_seq >= 3:
+                wait_ready(self._resident)
+                a.mat_seq = max(a.mat_seq, a.disp_seq)
             out = ops_pipeline._analyze_delta_flat(
                 self._resident, buf_np, bucket=bucket, chunk=_DELTA_SUB, **kw
             )
@@ -699,31 +818,42 @@ class TpuBackend:
             # No pending (re-dispatch with new flags): analyze the resident.
             self._results = ops_pipeline._analyze_packed_flat(self.rois_dev, **kw)
 
+        # Start the hostpack D2H NOW: it completes in the background while
+        # the host packs/diffs the next frame or scans the previous one, so
+        # the consume-side np.asarray finds the bytes already local
+        # (pipelined/batched modes) or waits only the true completion time
+        # (sync mode). See start_fetch.
+        start_fetch(self._results["hostpack"])
+        self._adapt.disp_seq += 1
+        self._job_seq = self._adapt.disp_seq
 
-    def snapshot_job(self) -> dict:
-        """Capture the in-flight frame's device state so another frame can be
-        loaded while this one is still being consumed (pipelined loop)."""
-        return {
-            "rois_dev": self.rois_dev,
-            "results": self._results,
-            "geom": self.geom,
-            "frame_np": self.frame_np,
-            "flags": self._dispatch_flags,
-        }
 
-    def adopt_job(self, job: dict) -> None:
-        self.rois_dev = job["rois_dev"]
-        self._results = job["results"]
-        self.geom = job["geom"]
-        self.frame_np = job["frame_np"]
-        # Restore BOTH the flag attributes and the dispatch-time flags the
-        # hostpack was packed with (crop_to_map slices by _dispatch_flags;
-        # a later submit may have overwritten them with the next frame's).
-        self._dispatch_flags = job["flags"]
-        self.scales_enabled, self.quiet_enabled, self._grayscale = job["flags"][:3]
-        self._host = None
-        self._scalespack_host = None
-        self._lsd_crop_host = None
+    def snapshot_job(self) -> "TpuBackend":
+        """Capture the in-flight frame as a CONSUME VIEW: a shallow copy of
+        the backend whose per-frame fields (results, geom, dispatch flags,
+        parsed host sections) are frozen to this frame, while the adaptation
+        state (_AdaptState), stats dict and delta chain stay shared by
+        reference. The view exposes the full consume surface (crop_to_map,
+        the marker/scales branches, debug views), so the driver can process
+        frame N on it WHILE load_frame/dispatch for frame N+1 mutate the
+        real backend — from another thread: submit writes only per-frame
+        fields of the real backend plus the (submit-owned) delta chain;
+        consume writes only per-frame fields of the view plus the shared
+        adaptation ints, which are GIL-atomic."""
+        import copy
+
+        view = copy.copy(self)
+        # The view must never re-enter the submit half: the delta chain is
+        # owned by the real backend (a stale _pending on the view would
+        # re-dispatch frame N's upload).
+        view._pending = None
+        view._pending_host = None
+        # Reset consume-side parse caches (the copy inherits whatever the
+        # live frame had; the view parses its own hostpack lazily).
+        view._host = None
+        view._scalespack_host = None
+        view._lsd_crop_host = None
+        return view
 
     def crop_to_map(self, grayscale: bool) -> Optional[tuple]:
         assert (self.rois_dev is not None or self._pending is not None) and self.geom is not None
@@ -740,6 +870,11 @@ class TpuBackend:
         with_ocr, with_quiet, _, crop_h, crop_w, _, inline, band = self._dispatch_flags[:8]
         sparse = self._dispatch_flags[9] if len(self._dispatch_flags) > 9 else None
         pack = np.asarray(self._results["hostpack"])
+        # This program's outputs are materialized (fetch done) — the delta
+        # chain's depth bound can advance past it.
+        seq = getattr(self, "_job_seq", 0)
+        if seq > self._adapt.mat_seq:
+            self._adapt.mat_seq = seq
         layout = ops_pipeline.hostpack_layout(
             g.map_h, g.map_w, with_ocr=with_ocr, with_quiet=with_quiet,
             crop_h=crop_h, crop_w=crop_w, scales_inline=inline, scales_band=band,

@@ -1,0 +1,447 @@
+"""Persistent TPU pipeline worker: the co-located deployment shape.
+
+The reference runs capture, vision and UI in ONE process because its CUDA
+device is on the local PCIe bus (/root/reference/src/main.rs:52-74,
+src/vision/mod.rs:243-315). The TPU-native deployment splits that: a thin
+capture/UI client and a PERSISTENT WORKER process that owns the JAX client
+and the vision pipeline, connected by a shared-memory frame ring (frames
+never cross a socket — the client writes pixels into the ring, the worker's
+pack stage reads them in place) and a unix-domain socket carrying JSON
+result lines back.
+
+Why a separate process (docs/DESIGN.md §3):
+
+* Deployment: on a standard TPU host the worker is co-located with the
+  chip; any number of thin capture clients (game machines) connect over the
+  socket. frame->markers latency then = device compute + host stages + IPC
+  (~microseconds of socket + one shm write), with no tunnel in the path.
+* Retention bound: the axon relay client retains ~every byte it uploads
+  (measured; DESIGN.md §3). The worker watches its own uploaded-byte count
+  and RECYCLES itself past a budget (SMH_WORKER_RECYCLE_MB): it finishes
+  the in-flight frame, reports `{"event": "recycling"}`, and exits; the
+  supervising client restarts it (the persistent XLA compile cache makes a
+  warm start seconds, not minutes) — host RSS is bounded by the budget
+  instead of growing for the life of a session.
+
+Protocol (all little-endian, same-host only):
+
+  shm ring        N_SLOTS x [SLOT_HDR | h*w*4 frame bytes]; SLOT_HDR is
+                  (seq u64, w u32, h u32, dpi u32, state u32); state is
+                  FREE -> client writes, READY -> worker may pack,
+                  PACKING -> client must not touch, then FREE again.
+  client->worker  one JSON line per message over the socket:
+                  {"cmd": "frame", "slot": k, "seq": n}   frame ready
+                  {"cmd": "ping"} / {"cmd": "stop"}
+  worker->client  {"event": "ready", "pid": ...}          after warmup
+                  {"event": "result", "seq": n, "sleeping": ..,
+                   "markers": [[x0,y0,x1,y1]..], "ratio": ..,
+                   "minimap": [l,t,r,b] | null, "ms": ..}
+                  {"event": "recycling", "h2d_bytes": ...} then EOF
+                  {"event": "pong"}
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import socket
+import struct
+import subprocess
+import sys
+import threading
+import time
+from multiprocessing import shared_memory
+from typing import Callable, Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+SLOT_HDR = struct.Struct("<QIIII")  # seq, w, h, dpi, state
+FREE, READY, PACKING = 0, 1, 2
+N_SLOTS = 4
+
+
+def _slot_size(w: int, h: int) -> int:
+    return SLOT_HDR.size + w * h * 4
+
+
+class FrameRing:
+    """Client-side view of the shared-memory frame ring."""
+
+    def __init__(self, name: str, w: int, h: int, create: bool) -> None:
+        self.w, self.h = w, h
+        size = N_SLOTS * _slot_size(w, h)
+        self.shm = shared_memory.SharedMemory(name=name, create=create, size=size)
+        if create:
+            self.shm.buf[:size] = b"\0" * size
+        else:
+            # Python <=3.12 registers ATTACHED segments with the resource
+            # tracker, which unlinks them when this process exits — a
+            # recycled worker would destroy the ring its own replacement
+            # (and the supervising client) still needs. Only the creator
+            # may own the name.
+            try:
+                from multiprocessing import resource_tracker
+
+                resource_tracker.unregister(self.shm._name, "shared_memory")
+            except Exception:  # pragma: no cover - tracker internals moved
+                pass
+        self._next = 0
+
+    def _hdr(self, k: int) -> tuple:
+        off = k * _slot_size(self.w, self.h)
+        return SLOT_HDR.unpack_from(self.shm.buf, off)
+
+    def _set_hdr(self, k: int, seq: int, dpi: int, state: int) -> None:
+        off = k * _slot_size(self.w, self.h)
+        SLOT_HDR.pack_into(self.shm.buf, off, seq, self.w, self.h, dpi, state)
+
+    def try_publish(self, image: np.ndarray, seq: int, dpi: int) -> Optional[int]:
+        """Write a BGRA frame into a FREE slot; None when the ring is full
+        (the client drops the frame — mailbox semantics, newest wins)."""
+        h, w = image.shape[:2]
+        assert (w, h) == (self.w, self.h) and image.dtype == np.uint8
+        for _ in range(N_SLOTS):
+            k = self._next
+            self._next = (self._next + 1) % N_SLOTS
+            if self._hdr(k)[4] == FREE:
+                off = k * _slot_size(self.w, self.h) + SLOT_HDR.size
+                dst = np.ndarray((h, w, 4), dtype=np.uint8, buffer=self.shm.buf, offset=off)
+                dst[...] = image if image.shape[2] == 4 else np.dstack(
+                    [image, np.full((h, w, 1), 255, np.uint8)]
+                )
+                self._set_hdr(k, seq, dpi, READY)
+                return k
+        return None
+
+    def view(self, k: int) -> tuple[np.ndarray, int, int]:
+        """(frame view, seq, dpi) of a READY slot; marks it PACKING."""
+        seq, w, h, dpi, _state = self._hdr(k)
+        self._set_hdr(k, seq, dpi, PACKING)
+        off = k * _slot_size(self.w, self.h) + SLOT_HDR.size
+        return (
+            np.ndarray((h, w, 4), dtype=np.uint8, buffer=self.shm.buf, offset=off),
+            seq,
+            dpi,
+        )
+
+    def release(self, k: int) -> None:
+        seq, w, h, dpi, _ = self._hdr(k)
+        self._set_hdr(k, seq, dpi, FREE)
+
+    def close(self, unlink: bool = False) -> None:
+        self.shm.close()
+        if unlink:
+            try:
+                self.shm.unlink()
+            except FileNotFoundError:
+                pass
+
+
+# ---------------------------------------------------------------------------
+# worker main (child process)
+
+
+def _serve(sock_path: str, shm_name: str, w: int, h: int) -> int:
+    from . import consts as C  # noqa: F401  (config side effects)
+    from .ocr.smhocr import SmhOcrEngine
+    from .settings import Settings
+    from .squadex.capture import Frame
+    from .vision.pipeline import VisionState
+
+    recycle_mb = float(os.environ.get("SMH_WORKER_RECYCLE_MB", "2048"))
+    ring = FrameRing(shm_name, w, h, create=False)
+    settings = Settings(path=None)
+    settings.set("hardware_acceleration", True)
+    state = VisionState(settings=settings, ocr_engine=SmhOcrEngine(), scales_async=True)
+
+    conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    conn.connect(sock_path)
+    # NOTE: socket.makefile(buffering=1) does NOT line-flush (measured on
+    # this CPython: the line sits in the writer's buffer forever) — every
+    # send flushes explicitly.
+    wfile = conn.makefile("w")
+    rfile = conn.makefile("r")
+
+    def send(obj: dict) -> None:
+        wfile.write(json.dumps(obj) + "\n")
+        wfile.flush()
+
+    # Warm the jit buckets for THIS resolution before reporting ready, so
+    # the first real frame doesn't eat the compile (cache-hit: seconds).
+    from . import testing
+
+    warm = testing.make_frame(w, h, marker_lines=[((50, 50), (200, 120))])
+    for _ in range(2):
+        state.process(Frame(warm, 96))
+    send({"event": "ready", "pid": os.getpid()})
+
+    backend = state.delegate.backend
+
+    def finish(frame: "Frame", seq: int, t0: float, sub: Optional[dict]) -> None:
+        results = state.process(frame, submitted=sub)
+        out = {
+            "event": "result",
+            "seq": seq,
+            "ms": round((time.perf_counter() - t0) * 1e3, 3),
+        }
+        if results is None:
+            out["sleeping"] = True
+        else:
+            out["sleeping"] = False
+            out["markers"] = [
+                [l.p0.x, l.p0.y, l.p1.x, l.p1.y] for l in results.markers
+            ]
+            out["ratio"] = results.meters_to_px_ratio
+            mb = results.minimap_bounds
+            out["minimap"] = [mb.left, mb.top, mb.right, mb.bottom] if mb else None
+        send(out)
+
+    # Pipelined consumption, same shape as VisionLoop: when the client is
+    # STREAMING (another frame message is already waiting on the socket, or
+    # fewer than `depth` frames are in flight) submit the new frame and defer
+    # its consume, so its background hostpack D2H overlaps the host stages of
+    # the previous frames; when the client is waiting (no queued input),
+    # drain immediately — a sync client sees plain request/response latency.
+    import select
+    from collections import deque
+
+    depth = 3
+    pending: deque = deque()  # (frame, seq, t0, submitted)
+    try:
+        while True:
+            if pending and not select.select([conn], [], [], 0)[0]:
+                f, seq, t0, sub = pending.popleft()
+                finish(f, seq, t0, sub)
+                continue
+            line = rfile.readline()
+            if not line:
+                break
+            msg = json.loads(line)
+            cmd = msg.get("cmd")
+            if cmd == "stop":
+                break
+            if cmd == "ping":
+                send({"event": "pong"})
+                continue
+            if cmd != "frame":
+                continue
+            image, seq, dpi = ring.view(msg["slot"])
+            t0 = time.perf_counter()
+            frame = Frame(image, dpi or None)
+            sub = state.submit(frame)
+            if sub is None:
+                # Unpipelined fallback path: process() will read the frame
+                # during load_frame, AFTER the slot could recycle — copy.
+                frame = Frame(image.copy(), dpi or None)
+                ring.release(msg["slot"])
+                finish(frame, seq, t0, None)
+            else:
+                # submit() already packed the ROIs out of the slot; the only
+                # later reader of frame.image would be the numpy minimap
+                # fallback, which the TPU backend never takes (the minimap
+                # rect ships in the hostpack). Releasing now saves a 33 MB
+                # frame copy (~10 ms on this host) per frame.
+                ring.release(msg["slot"])
+                pending.append((frame, seq, t0, sub))
+                if len(pending) >= depth:
+                    f, seq2, t2, sub2 = pending.popleft()
+                    finish(f, seq2, t2, sub2)
+            h2d = getattr(backend, "stats", {}).get("h2d_bytes", 0)
+            if h2d > recycle_mb * 1e6:
+                # Retention bound (DESIGN.md §3): the relay client never
+                # frees uploaded bytes; recycle before RSS outgrows the
+                # budget. The supervisor restarts us; the compile cache
+                # makes the warm start cheap.
+                while pending:
+                    f, seq2, t2, sub2 = pending.popleft()
+                    finish(f, seq2, t2, sub2)
+                send({"event": "recycling", "h2d_bytes": int(h2d)})
+                return 42
+        while pending:
+            f, seq2, t2, sub2 = pending.popleft()
+            finish(f, seq2, t2, sub2)
+    finally:
+        state.close()
+        ring.close()
+        conn.close()
+    return 0
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="smh_tpu pipeline worker")
+    ap.add_argument("--sock", required=True)
+    ap.add_argument("--shm", required=True)
+    ap.add_argument("--width", type=int, required=True)
+    ap.add_argument("--height", type=int, required=True)
+    args = ap.parse_args(argv)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+    # Honor JAX_PLATFORMS even where a site hook registers a device plugin
+    # programmatically (the axon hook overrides the env var; tests force
+    # cpu the same way in tests/conftest.py).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    logging.basicConfig(level=logging.INFO)
+    return _serve(args.sock, args.shm, args.width, args.height)
+
+
+# ---------------------------------------------------------------------------
+# client (parent process)
+
+
+class WorkerClient:
+    """Supervises a worker process: spawns it, feeds frames through the shm
+    ring, delivers result lines to a callback, and TRANSPARENTLY restarts
+    the worker when it recycles itself (or dies). Frames submitted while no
+    worker is up are dropped (mailbox semantics — the next frame catches
+    up), mirroring the per-frame error tolerance of the in-process loop."""
+
+    def __init__(
+        self,
+        w: int,
+        h: int,
+        on_result: Callable[[dict], None],
+        sock_dir: str = "/tmp",
+        env: Optional[dict] = None,
+        max_restarts: int = 100,
+    ) -> None:
+        self.w, self.h = w, h
+        self.on_result = on_result
+        self._env = env
+        self._max_restarts = max_restarts
+        self.restarts = 0
+        tag = f"smhw-{os.getpid()}-{id(self) & 0xFFFF:x}"
+        self.sock_path = os.path.join(sock_dir, tag + ".sock")
+        self.shm_name = tag
+        self.ring = FrameRing(self.shm_name, w, h, create=True)
+        self._listener = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._listener.bind(self.sock_path)
+        self._listener.listen(1)
+        self._proc: Optional[subprocess.Popen] = None
+        self._wfile = None
+        self._seq = 0
+        self._lock = threading.Lock()
+        self._ready = threading.Event()
+        self._closed = False
+        self._thread = threading.Thread(target=self._supervise, daemon=True, name="smh-worker-sup")
+        self._thread.start()
+
+    # -- supervisor thread --------------------------------------------------
+
+    def _spawn(self) -> None:
+        env = dict(os.environ)
+        if self._env:
+            env.update(self._env)
+        self._proc = subprocess.Popen(
+            [
+                sys.executable, "-m", "smh_tpu.worker",
+                "--sock", self.sock_path, "--shm", self.shm_name,
+                "--width", str(self.w), "--height", str(self.h),
+            ],
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+
+    def _supervise(self) -> None:
+        while not self._closed and self.restarts <= self._max_restarts:
+            self._spawn()
+            try:
+                self._listener.settimeout(1.0)
+                while not self._closed:
+                    try:
+                        conn, _ = self._listener.accept()
+                        break
+                    except socket.timeout:
+                        if self._proc.poll() is not None:
+                            raise RuntimeError(
+                                f"worker exited rc={self._proc.returncode} before connecting"
+                            )
+                else:
+                    return
+                rfile = conn.makefile("r")
+                with self._lock:
+                    self._wfile = conn.makefile("w")
+                recycling = False
+                for line in rfile:
+                    msg = json.loads(line)
+                    ev = msg.get("event")
+                    if ev == "ready":
+                        self._ready.set()
+                    elif ev == "recycling":
+                        recycling = True
+                        log.info("worker recycling after %s uploaded bytes", msg.get("h2d_bytes"))
+                    elif ev == "result":
+                        self.on_result(msg)
+                conn.close()
+                self._proc.wait(timeout=30)
+                if not recycling and not self._closed:
+                    log.warning("worker died rc=%s; restarting", self._proc.returncode)
+            except Exception:
+                if not self._closed:
+                    log.exception("worker supervision error; restarting")
+                    time.sleep(1.0)
+            finally:
+                self._ready.clear()
+                with self._lock:
+                    self._wfile = None
+            if not self._closed:
+                self.restarts += 1
+
+    # -- client API -----------------------------------------------------------
+
+    def wait_ready(self, timeout: float = 600.0) -> bool:
+        return self._ready.wait(timeout)
+
+    def submit(self, image: np.ndarray, dpi: int = 96) -> Optional[int]:
+        """Publish a frame; returns its seq, or None if dropped (ring full /
+        worker down). Never blocks on the worker."""
+        with self._lock:
+            wfile = self._wfile
+            if wfile is None or not self._ready.is_set():
+                return None
+            self._seq += 1
+            seq = self._seq
+            slot = self.ring.try_publish(image, seq, dpi)
+            if slot is None:
+                return None
+            try:
+                wfile.write(json.dumps({"cmd": "frame", "slot": slot, "seq": seq}) + "\n")
+                wfile.flush()
+            except Exception:
+                return None
+            return seq
+
+    def close(self) -> None:
+        self._closed = True
+        with self._lock:
+            if self._wfile is not None:
+                try:
+                    self._wfile.write('{"cmd": "stop"}\n')
+                    self._wfile.flush()
+                except Exception:
+                    pass
+        if self._proc is not None:
+            try:
+                self._proc.wait(timeout=10)
+            except Exception:
+                self._proc.terminate()
+        self._thread.join(timeout=5)
+        try:
+            self._listener.close()
+        finally:
+            self.ring.close(unlink=True)
+            try:
+                os.unlink(self.sock_path)
+            except FileNotFoundError:
+                pass
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -95,6 +95,46 @@ def test_tpu_matches_golden_detections(name):
         assert math.hypot(l.p1.x - e[2], l.p1.y - e[3]) <= 1.5
 
 
+@pytest.mark.slow
+def test_tpu_full_corpus_matches_goldens():
+    """EVERY pinned sample through the TPU backend (the CI twin of
+    tools/soak_corpus.py — round 3 only spot-checked 6 of the 26 in CI, so
+    a regression could hide in the unselected samples). One backend
+    instance across the corpus also exercises resolution switches, ladder
+    resets and the delta-chain restart on geometry changes."""
+    import math as _math
+
+    from smh_tpu.squadex.capture import load_frame_bgra
+    from smh_tpu.vision.tpu_backend import TpuBackend
+
+    be = TpuBackend()
+    mismatches = []
+    for name, golden in sorted(GOLDENS.items()):
+        frame = load_frame_bgra(str(REFERENCE_SAMPLES / name))
+        be.load_frame(frame)
+        cropped = be.crop_to_map(grayscale=True)
+        if golden["sleeping"]:
+            if cropped is not None:
+                mismatches.append((name, "expected sleeping"))
+            continue
+        if cropped is None:
+            mismatches.append((name, "unexpectedly sleeping"))
+            continue
+        lines = be.find_marker_lines(15)
+        expected = golden["lines"]
+        if len(lines) != len(expected):
+            mismatches.append((name, f"{len(lines)} lines != {len(expected)}"))
+            continue
+        for l, e in zip(lines, expected):
+            if (
+                _math.hypot(l.p0.x - e[0], l.p0.y - e[1]) > 1.5
+                or _math.hypot(l.p1.x - e[2], l.p1.y - e[3]) > 1.5
+            ):
+                mismatches.append((name, f"line off: {l} vs {e}"))
+                break
+    assert not mismatches, mismatches
+
+
 # Real 2560x1440 game screenshots through the BATCH pipeline (the throughput
 # mode): detections must match the same per-frame goldens. Covers the batch
 # hostpack, the sparse mask sections, the per-frame red gate (one frame with

@@ -96,7 +96,8 @@ def test_pipelined_matches_sync(hardware):
 
 def test_pipelined_with_minimap_cadence():
     """Regression: alternating quiet-mask flags between in-flight frames must
-    not corrupt hostpack parsing (adopt_job must restore dispatch flags)."""
+    not corrupt hostpack parsing (each snapshot view carries the dispatch
+    flags its hostpack was packed with)."""
     frames = make_frames()
     settings = Settings(path=None)
     settings.set("hardware_acceleration", True)

@@ -1,0 +1,123 @@
+"""Persistent worker process: shm frame ring -> pipeline -> socket results.
+
+Covers the co-located deployment shape (smh_tpu/worker.py; the reference's
+single-process loop is src/vision/mod.rs:243-315 — the TPU rebuild splits
+capture client and pipeline worker so the device-owning process can be
+co-located with the chip and recycled to bound the relay client's host
+retention, docs/DESIGN.md §3)."""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from smh_tpu import testing
+from smh_tpu.worker import FrameRing, WorkerClient
+
+W, H = 960, 540  # small: the worker compiles its jit bucket at startup
+
+pytestmark = pytest.mark.slow
+
+
+class Collector:
+    def __init__(self) -> None:
+        self.results: dict[int, dict] = {}
+        self.cond = threading.Condition()
+
+    def __call__(self, msg: dict) -> None:
+        with self.cond:
+            self.results[msg["seq"]] = msg
+            self.cond.notify_all()
+
+    def wait_for(self, seq: int, timeout: float = 240.0) -> dict:
+        deadline = time.monotonic() + timeout
+        with self.cond:
+            while seq not in self.results:
+                left = deadline - time.monotonic()
+                assert left > 0, f"no result for seq {seq}"
+                self.cond.wait(min(left, 1.0))
+            return self.results[seq]
+
+
+def make_frames(n: int = 3) -> list[np.ndarray]:
+    return [
+        testing.make_frame(
+            W, H, marker_lines=[((40 + 5 * i, 60), (300 + 5 * i, 200))]
+        )
+        for i in range(n)
+    ]
+
+
+def submit_until_accepted(wc: WorkerClient, img, timeout: float = 240.0):
+    """submit() drops frames while the worker is (re)starting or the ring is
+    full — retry until one is accepted, like a capture loop would."""
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        seq = wc.submit(img)
+        if seq is not None:
+            return seq
+        time.sleep(0.2)
+    raise AssertionError("worker never accepted a frame")
+
+
+def test_worker_end_to_end():
+    col = Collector()
+    wc = WorkerClient(W, H, col)
+    try:
+        assert wc.wait_ready(timeout=240)
+        frames = make_frames(3)
+        seqs = []
+        for img in frames:
+            seqs.append(submit_until_accepted(wc, img))
+        for i, seq in enumerate(seqs):
+            msg = col.wait_for(seq)
+            assert msg["sleeping"] is False
+            assert len(msg["markers"]) == 1
+            x0, y0, x1, y1 = msg["markers"][0]
+            # marker_lines are in map-ROI coords; worker reports the same
+            assert abs(x0 - (40 + 5 * i)) <= 3 and abs(y0 - 60) <= 3
+            assert msg["ms"] > 0
+    finally:
+        wc.close()
+
+
+def test_worker_recycles_and_recovers():
+    """A tiny upload budget forces the recycle path: the worker reports
+    `recycling`, exits, the supervisor restarts it, and results keep
+    flowing — the retention bound costs availability, not correctness."""
+    col = Collector()
+    wc = WorkerClient(W, H, col, env={"SMH_WORKER_RECYCLE_MB": "0.000001"})
+    try:
+        assert wc.wait_ready(timeout=240)
+        img = make_frames(1)[0]
+        first = submit_until_accepted(wc, img)
+        col.wait_for(first)
+        # The first processed frame overflows the budget: worker recycles.
+        deadline = time.monotonic() + 240
+        while wc.restarts == 0 and time.monotonic() < deadline:
+            time.sleep(0.2)
+        assert wc.restarts >= 1
+        # After the restart, the fresh worker serves frames again.
+        again = submit_until_accepted(wc, img)
+        msg = col.wait_for(again)
+        assert msg["sleeping"] is False and len(msg["markers"]) == 1
+    finally:
+        wc.close()
+
+
+def test_frame_ring_mailbox_semantics():
+    """try_publish drops when all slots are busy; release frees them."""
+    ring = FrameRing("smh-test-ring-%d" % os.getpid(), 64, 48, create=True)
+    try:
+        img = np.zeros((48, 64, 4), dtype=np.uint8)
+        slots = [ring.try_publish(img, seq=i + 1, dpi=96) for i in range(4)]
+        assert all(s is not None for s in slots)
+        assert ring.try_publish(img, seq=99, dpi=96) is None  # full: drop
+        view, seq, dpi = ring.view(slots[0])
+        assert (seq, dpi) == (1, 96) and view.shape == (48, 64, 4)
+        ring.release(slots[0])
+        assert ring.try_publish(img, seq=100, dpi=96) is not None
+    finally:
+        ring.close(unlink=True)
