@@ -228,30 +228,11 @@ def measure_pipelined_fps(w: int, h: int, seconds: float) -> float:
 
 
 def make_video_frames(w: int, h: int, n: int) -> list[np.ndarray]:
-    """A video-like sequence: marker lines move continuously frame to frame
-    and a BRQ patch changes every frame (defeats the ratio cache), while the
-    map background stays — the batch delta chain ships the real inter-frame
-    change, as it would for game footage."""
-    from smh_tpu import consts as C, testing
+    """See smh_tpu.testing.make_video_frames — shared with the video-golden
+    test so the benched sequence is the golden-pinned one."""
+    from smh_tpu import testing
 
-    g = C.map_geometry(w, h)
-    frames = []
-    for i in range(n):
-        off = 5 * i
-        frame = testing.make_frame(
-            w,
-            h,
-            marker_lines=[
-                ((120 + off, 150 + off // 2), (700 + off, 520)),
-                ((w // 4, h // 3 + off), (w // 4 + 450, h // 3 + 60 + off)),
-            ],
-            scale_texts=[("300m", (60, 170))],
-            scale_bars=[(60, 200, 120, 1)],
-        )
-        frame[g.brq_y + 300 + off % 40 : g.brq_y + 310 + off % 40,
-              g.brq_x + 300 : g.brq_x + 340, :3] = 255
-        frames.append(frame)
-    return frames
+    return testing.make_video_frames(w, h, n)
 
 
 def measure_batched(w: int, h: int, iters: int, batch: int = 8) -> tuple[float, dict]:
@@ -367,6 +348,73 @@ def measure_worker(w: int, h: int, iters: int, stream_s: float = 6.0) -> dict:
     return out
 
 
+def measure_corpus(res: str, iters: int) -> dict:
+    """REAL-content perf: the reference screenshot corpus through the full
+    per-frame pipeline (natives at 1440p; the 4K set is the nearest-upscaled
+    stress corpus of tests/goldens/detections_4k.json). Real masks are
+    denser than the synthetic bench frames — this is where the sparse
+    budget, band ladder and scalespack machinery earn (or lose) their keep,
+    so the counters ride along. Detections are sanity-checked against the
+    pinned goldens (count equality; the exact values are CI's job)."""
+    import json as _json
+    import pathlib
+    import statistics as st
+
+    from smh_tpu import testing
+    from smh_tpu.squadex.capture import Frame, load_frame_bgra
+
+    samples = pathlib.Path("/root/reference/vision-common/samples")
+    gdir = pathlib.Path(__file__).resolve().parent / "tests" / "goldens"
+    if res == "4k":
+        goldens = _json.loads((gdir / "detections_4k.json").read_text())
+        frames = {
+            n: testing.upscale_frame(load_frame_bgra(str(samples / n)), 3840, 2160)
+            for n in goldens
+        }
+    else:
+        goldens = {
+            n: g
+            for n, g in _json.loads((gdir / "detections.json").read_text()).items()
+            if tuple(g.get("frame", ())) == (1440, 2560) and not g["sleeping"]
+        }
+        frames = {n: load_frame_bgra(str(samples / n)) for n in goldens}
+
+    state = build_state()
+    names = sorted(frames)
+    # Warm every sample once (sparse-rung escalations on the dense frames
+    # compile their buckets here, not in the measured loop).
+    detect_ok = 0
+    for n in names:
+        r = state.process(Frame(frames[n], dpi=96))
+        got = 0 if r is None else len(r.markers)
+        want = len(goldens[n].get("lines", []))
+        detect_ok += got == want
+    backend = state.delegate.backend
+    stats0 = dict(backend.stats)
+    lat = []
+    for it in range(iters):
+        for n in names:
+            t0 = time.perf_counter()
+            state.process(Frame(frames[n], dpi=96))
+            lat.append((time.perf_counter() - t0) * 1000.0)
+    stats = {k: backend.stats[k] - stats0.get(k, 0) for k in backend.stats}
+    state.close()
+    lat.sort()
+    return {
+        "corpus_p50_ms": round(st.median(lat), 3),
+        "corpus_p90_ms": round(lat[int(0.9 * (len(lat) - 1))], 3),
+        "corpus_samples": len(names),
+        "corpus_detect_ok": detect_ok,
+        "corpus_sparse_misses": stats.get("lsd_sparse_misses"),
+        "corpus_window_misses": stats.get("lsd_window_misses"),
+        "corpus_band_misses": stats.get("scales_band_misses"),
+        "corpus_scalespack_fetches": stats.get("scalespack_fetches"),
+        "corpus_h2d_bytes_per_frame": round(
+            stats.get("h2d_bytes", 0) / max(1, iters * len(names))
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", default="4k", choices=["4k", "1440p", "1080p"])
@@ -374,7 +422,8 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument(
-        "--mode", default="full", choices=["full", "latency", "batch", "stream", "worker"]
+        "--mode", default="full",
+        choices=["full", "latency", "batch", "stream", "worker", "corpus"],
     )
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ocr", default="smhocr", choices=["smhocr", "tesseract"],
@@ -388,6 +437,15 @@ def main() -> None:
     iters = 10 if args.quick else args.iters
     reps = 2 if args.quick else args.reps
 
+    if args.mode == "corpus":
+        cout = measure_corpus(args.res, 2 if args.quick else 4)
+        print(json.dumps({
+            "metric": f"{args.res}_real_corpus_p50_latency",
+            "value": cout["corpus_p50_ms"], "unit": "ms",
+            "vs_baseline": round(8.0 / cout["corpus_p50_ms"], 4),
+            **cout,
+        }))
+        return
     if args.mode == "worker":
         wout = measure_worker(w, h, max(6, iters // 4))
         print(json.dumps({
@@ -446,10 +504,12 @@ def main() -> None:
     # window will visit + red gate + ray march). First compile through a
     # remote compile service can take minutes; progress goes to stderr so a
     # watching driver knows the bench is alive.
+    warmup_s = []
     for i in range(4):
         t0 = time.perf_counter()
         res = state.process(frames[i % len(frames)])
-        print(f"warmup {i}: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+        warmup_s.append(round(time.perf_counter() - t0, 1))
+        print(f"warmup {i}: {warmup_s[-1]}s", file=sys.stderr, flush=True)
     assert res is not None and len(res.markers) >= 1, "bench frame must detect"
 
     if args.profile:
@@ -552,6 +612,12 @@ def main() -> None:
         out["fps_batched"] = round(1000.0 / batched_ms, 2)
         out["batched_stalled_batches"] = bstats_full.get("stalled_batches")
     out.update(worker_metrics)
+    # Cold-start accounting: per-entry-point jit bucket counts for THIS
+    # process (each bucket = one compile on a cold cache) + the observed
+    # warmup wall times. The round-3 cold start was 980 s; the census makes
+    # ladder growth a visible number instead of a mystery stall.
+    out["jit_traces"] = ops_pipeline.trace_census()
+    out["warmup_s"] = warmup_s
     print(json.dumps(out))
 
 

@@ -37,7 +37,7 @@ from .squadex.capture import (
     VideoSource,
     load_frame_bgra,
 )
-from .vision.pipeline import VisionLoop, VisionState
+from .vision.pipeline import VisionLoop, VisionResults, VisionState
 from .web.server import WebServer
 from .web import protocol
 
@@ -61,7 +61,15 @@ class App:
         aes: Optional[str] = None,
         ripper_exe: Optional[str] = None,
         cache_dir: str = "heightmaps",
+        worker: bool = False,
     ) -> None:
+        """worker=True runs the vision pipeline in a PERSISTENT WORKER
+        PROCESS (smh_tpu/worker.py) instead of an in-process thread: frames
+        cross a shared-memory ring, detections come back over a unix
+        socket, and the worker recycles itself past its upload budget so
+        the relay client's host retention stays bounded (DESIGN.md §3).
+        The in-process knobs that live inside the pipeline (debug views,
+        backend hot-swap) are owned by the worker in this mode."""
         self.settings = settings or Settings()
         # Log observability surface (reference: in-app log window fed by a
         # channel with repeat-collapse + auto-open-on-error,
@@ -85,7 +93,14 @@ class App:
         self.ripper_exe = ripper_exe
         self.cache_dir = cache_dir
         self.capture = CaptureThread(source)
-        self.loop = VisionLoop(self.state, self.capture, self._on_update, pipelined=pipelined)
+        self.worker_mode = worker
+        self._worker_client = None
+        self._worker_thread: Optional[threading.Thread] = None
+        self._worker_map = None  # latest ui map pushed through the shm slot
+        if worker:
+            self.loop = None
+        else:
+            self.loop = VisionLoop(self.state, self.capture, self._on_update, pipelined=pipelined)
         self.web = WebServer(port=port) if serve else None
         self.custom_markers: list[tuple[tuple[float, float], tuple[float, float]]] = []
         self._lock = threading.Lock()
@@ -352,14 +367,14 @@ class App:
                 # Not persisted; the vision loop re-checks it per frame and
                 # parks (reference PAUSED atomic, settings.rs:5).
                 self.settings.set_paused(value in ("1", "true", "on"))
-                self.loop.wake()
+                self._wake()
             elif key in bool_keys:
                 # Saved on set like every reference setting; the vision loop
                 # reads these per frame, so hardware_acceleration flips the
                 # backend live (BackendDelegate re-checks each frame) and
                 # grayscale_map re-dispatches with the new ui plane.
                 self.settings.set(key, value in ("1", "true", "on"))
-                self.loop.wake()
+                self._wake()
             elif key in ("squad_dir", "squad_pak_aes"):
                 self.settings.set(key, value or None)
             else:
@@ -414,17 +429,110 @@ class App:
 
     # -- lifecycle ----------------------------------------------------------
 
+    def _wake(self) -> None:
+        """Re-deliver the current frame after a runtime settings flip. In
+        worker mode the feeder polls the mailbox anyway; invalidating the
+        capture dedup is all that's needed."""
+        if self.loop is not None:
+            self.loop.wake()
+        else:
+            resend = getattr(self.capture, "resend", None)
+            if resend is not None:
+                resend()
+
+    # -- worker mode: feed the worker process from the capture mailbox -------
+
+    def _run_worker_feeder(self) -> None:
+        from . import consts as C_
+        from .geometry import Line, Rect
+        from .utils.timeshares import Timeshares
+        from .vision.pipeline import DebugBox
+        from .worker import WorkerClient
+
+        interval = 1.0 / float(C_.VISION_FPS)
+
+        def on_map(rgba, _seq) -> None:
+            self._worker_map = rgba  # fresh object per push: id() dedup works
+            # The worker emits the map AFTER its frame's result event, and a
+            # static scene produces no further results — push to viewers now
+            # and backfill the retained results so late connectors get it.
+            if self._last_results is not None:
+                self._last_results._map = rgba
+            if self.web is not None and self.web.num_clients() > 0:
+                self.web.send_map(rgba)
+                self._last_map_id = id(rgba)
+
+        def on_result(msg: dict) -> None:
+            debug = DebugBox(timeshares=Timeshares())
+            debug.timeshares.entire_frame = msg.get("ms", 0.0) / 1000.0
+            if msg.get("sleeping"):
+                self._on_update(None, debug)
+                return
+            results = VisionResults()
+            results.markers = [
+                Line.from_tuple(((x0, y0), (x1, y1)))
+                for x0, y0, x1, y1 in msg.get("markers", [])
+            ]
+            results.meters_to_px_ratio = msg.get("ratio")
+            mm = msg.get("minimap")
+            results.minimap_bounds = (
+                Rect(left=mm[0], top=mm[1], right=mm[2], bottom=mm[3]) if mm else None
+            )
+            results._map = self._worker_map
+            self._on_update(results, debug)
+
+        wc = None
+        undelivered = None  # last frame the worker hasn't accepted yet:
+        # a static source publishes each distinct frame ONCE (capture
+        # dedup), and the worker spends its first ~minute warming up —
+        # dropping that one frame would leave the session blank forever.
+        try:
+            while not self._shutdown.is_set():
+                if self.settings.paused():
+                    self._shutdown.wait(0.05)
+                    continue
+                frame = self.capture.fresh_frame()
+                if frame is None:
+                    frame = undelivered
+                if frame is None:
+                    self._shutdown.wait(interval)
+                    continue
+                h, w = frame.image.shape[:2]
+                if wc is None or (wc.w, wc.h) != (w, h):
+                    if wc is not None:
+                        wc.close()
+                    log.info("starting pipeline worker for %dx%d", w, h)
+                    wc = WorkerClient(w, h, on_result, on_map=on_map)
+                    self._worker_client = wc
+                    wc.set_maps(self.web is not None)
+                accepted = wc.submit(frame.image, frame.dpi or 96)
+                undelivered = None if accepted is not None else frame
+                self._shutdown.wait(interval)
+        finally:
+            if wc is not None:
+                wc.close()
+            self._worker_client = None
+
     def start(self) -> "App":
         if self.web is not None:
             self.web.start()
             log.info("web UI at %s", self.web.addr)
         self.capture.start()
-        self.loop.start()
+        if self.loop is not None:
+            self.loop.start()
+        else:
+            self._worker_thread = threading.Thread(
+                target=self._run_worker_feeder, name="worker-feeder", daemon=True
+            )
+            self._worker_thread.start()
         return self
 
     def stop(self) -> None:
         self._shutdown.set()
-        self.loop.stop()
+        if self.loop is not None:
+            self.loop.stop()
+        if self._worker_thread is not None:
+            self._worker_thread.join(timeout=15.0)
         self.capture.stop()
         if self.web is not None:
             self.web.stop()
@@ -488,6 +596,11 @@ def main(argv=None) -> int:
         help="double-buffered streaming: overlap next frame's device work with "
              "current frame's result processing (+1 frame latency, ~25%% more fps)",
     )
+    ap.add_argument("--worker", action="store_true",
+                    help="run the vision pipeline in a persistent worker process "
+                         "(shm frame ring + unix socket results); the worker "
+                         "recycles itself past SMH_WORKER_RECYCLE_MB of uploads "
+                         "so host memory stays bounded on the tunnel client")
     ap.add_argument("--debug-web", action="store_true",
                     help="broadcast debug telemetry to web clients (event id 100): "
                          "fps, per-stage timeshares, OCR boxes, scale overlays")
@@ -575,6 +688,7 @@ def main(argv=None) -> int:
         serve=not args.no_web, pipelined=args.pipelined, debug_web=args.debug_web,
         scales_async=not args.sync_scales,
         paks=args.paks, aes=args.aes, ripper_exe=args.ripper, cache_dir=args.cache_dir,
+        worker=args.worker,
     )
 
     if args.heightmap:

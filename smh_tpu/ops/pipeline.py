@@ -1252,3 +1252,23 @@ def analyze_frame(
         frame_dev, (g.map_y, g.map_x, 0), (g.map_y + g.map_h, g.map_x + g.map_w, 4)
     )
     return _analyze_map(map_bgra, grayscale=grayscale, with_isolated=with_isolated)
+
+
+def trace_census() -> dict:
+    """How many traces (jit buckets) each entry point compiled in THIS
+    process — the cold-start bill, itemized. bench.py records it so rung/
+    band/flag ladder growth shows up as a number in the JSON of record
+    instead of as an unexplained first-run stall (every bucket is a
+    compile: ~30-100 s each through the remote compile service on a cold
+    persistent cache)."""
+    out = {}
+    for fn in (
+        _analyze_packed_flat, _analyze_delta_flat,
+        _analyze_batch_packed, _analyze_batch_delta,
+        _analyze_map, _red_gate_roi, unpack_bits_device,
+    ):
+        try:
+            out[fn.__name__] = fn._cache_size()
+        except Exception:  # pragma: no cover - private API moved
+            pass
+    return out

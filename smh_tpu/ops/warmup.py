@@ -89,14 +89,21 @@ def warmup(resolutions=COMMON_RESOLUTIONS, grayscale: bool = True) -> None:
                 be.dispatch(grayscale)
                 be.crop_to_map(grayscale)
             be._rung_h = be._rung_w = _RUNG_HALF
-        # Band-rung buckets (binary transport; the band ladder adapts at
-        # runtime when the device reader is disabled).
+        # Band-rung buckets (binary transport). The band ladder only runs
+        # when the device reader is off (fallback engines), so warming EVERY
+        # rung paid ~4 rarely-hit compiles per resolution of the 980 s
+        # round-3 cold start. Warm the two rungs a fallback session actually
+        # starts in: the default (1/2) and the full-height escape hatch; a
+        # band session that adapts beyond them pays its own compile, once.
         be.scales_device_ok = False
-        for band_rung in range(len(_dim_ladder(be.geom.brq_h))):
+        ladder_len = len(_dim_ladder(be.geom.brq_h))
+        for band_rung in {min(_RUNG_HALF, ladder_len - 1), ladder_len - 1}:
             be._band_rung = band_rung
             be.dispatch(grayscale)
             be.crop_to_map(grayscale)
         be._band_rung = _RUNG_HALF
+        be._band_streak = 0
+        be._band_probation = 0
         be.scales_device_ok = True
         # Delta-transport buckets: warm the chunk-count buckets a live
         # session typically visits (a marker drag is a few hundred chunks).

@@ -121,6 +121,50 @@ def make_frame(
     return frame
 
 
+def make_video_frames(w: int, h: int, n: int) -> list[np.ndarray]:
+    """A deterministic video-like sequence: marker lines move continuously
+    frame to frame and a BRQ patch changes every frame (defeats the ratio
+    cache), while the map background stays — a delta-chain consumer ships
+    only the real inter-frame motion, as it would for game footage. Shared
+    by bench.py's batch metric and the video-golden test (the goldens pin
+    the oracle's per-frame detections on this exact sequence)."""
+    from . import consts as C
+
+    g = C.map_geometry(w, h)
+    frames = []
+    for i in range(n):
+        off = 5 * i
+        frame = make_frame(
+            w,
+            h,
+            marker_lines=[
+                ((120 + off, 150 + off // 2), (700 + off, 520)),
+                ((w // 4, h // 3 + off), (w // 4 + 450, h // 3 + 60 + off)),
+            ],
+            scale_texts=[("300m", (60, 170))],
+            scale_bars=[(60, 200, 120, 1)],
+        )
+        frame[g.brq_y + 300 + off % 40 : g.brq_y + 310 + off % 40,
+              g.brq_x + 300 : g.brq_x + 340, :3] = 255
+        frames.append(frame)
+    return frames
+
+
+def upscale_frame(frame: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbour upscale of a BGRA frame (4K stress corpus from the
+    reference's 1440p screenshots — tests/goldens/detections_4k.json records
+    this provenance; NEAREST keeps every pixel an exact original color, so
+    the HSV classifier sees real game colors, just bigger)."""
+    try:
+        import cv2
+
+        return cv2.resize(frame, (w, h), interpolation=cv2.INTER_NEAREST)
+    except ImportError:  # pragma: no cover
+        ys = (np.arange(h) * frame.shape[0]) // h
+        xs = (np.arange(w) * frame.shape[1]) // w
+        return frame[ys][:, xs]
+
+
 def render_text_mask(text: str, height: int = 20) -> np.ndarray:
     """Tightly-cropped u8 0/255 glyph mask of `text` (DejaVu Sans) — for
     tests that need raw glyph pixels outside a full frame (e.g. feeding a

@@ -100,6 +100,10 @@ _DELTA_BUCKETS = tuple(
 )
 
 
+def _prefetch_mode() -> bool:
+    return os.environ.get("SMH_PREFETCH", "1") != "0"
+
+
 def start_fetch(arr) -> None:
     """Begin the D2H of a jit output WITHOUT waiting for it.
 
@@ -111,6 +115,8 @@ def start_fetch(arr) -> None:
     the per-frame fetch from a serializing ~30 ms exchange into background
     IO whenever ANY host work (pack/diff of the next frame, LSD scan of the
     previous one) runs between dispatch and consume."""
+    if not _prefetch_mode():  # SMH_PREFETCH=0: A/B the eager-copy effect
+        return
     try:
         arr.copy_to_host_async()
     except Exception:  # pragma: no cover - sharded/committed corner cases

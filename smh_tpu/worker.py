@@ -68,11 +68,15 @@ def _slot_size(w: int, h: int) -> int:
 
 
 class FrameRing:
-    """Client-side view of the shared-memory frame ring."""
+    """Shared-memory ring: N_SLOTS frame slots (client -> worker) plus ONE
+    map slot (worker -> client, index N_SLOTS) carrying the RGBA ui map when
+    a viewer asked for it — pixels never cross the socket in either
+    direction. The map slot's state field runs the opposite direction:
+    FREE = worker may write, READY = client may read."""
 
     def __init__(self, name: str, w: int, h: int, create: bool) -> None:
         self.w, self.h = w, h
-        size = N_SLOTS * _slot_size(w, h)
+        size = (N_SLOTS + 1) * _slot_size(w, h)  # +1: the map slot
         self.shm = shared_memory.SharedMemory(name=name, create=create, size=size)
         if create:
             self.shm.buf[:size] = b"\0" * size
@@ -131,6 +135,34 @@ class FrameRing:
         seq, w, h, dpi, _ = self._hdr(k)
         self._set_hdr(k, seq, dpi, FREE)
 
+    # -- map slot (worker -> client) ----------------------------------------
+
+    def try_write_map(self, rgba: np.ndarray, seq: int) -> bool:
+        """Worker side: publish the RGBA ui map if the slot is writable
+        (client has consumed the previous one). The map is a crop of the
+        frame, so it always fits a frame-sized slot."""
+        mh, mw = rgba.shape[:2]
+        k = N_SLOTS
+        if self._hdr(k)[4] != FREE or mh * mw * 4 > self.w * self.h * 4:
+            return False
+        off = k * _slot_size(self.w, self.h) + SLOT_HDR.size
+        dst = np.ndarray((mh, mw, 4), dtype=np.uint8, buffer=self.shm.buf, offset=off)
+        dst[...] = rgba
+        SLOT_HDR.pack_into(self.shm.buf, k * _slot_size(self.w, self.h), seq, mw, mh, 0, READY)
+        return True
+
+    def read_map(self) -> Optional[tuple[np.ndarray, int]]:
+        """Client side: copy the published map out and free the slot."""
+        k = N_SLOTS
+        seq, mw, mh, _dpi, state = self._hdr(k)
+        if state != READY:
+            return None
+        off = k * _slot_size(self.w, self.h) + SLOT_HDR.size
+        src = np.ndarray((mh, mw, 4), dtype=np.uint8, buffer=self.shm.buf, offset=off)
+        out = src.copy()
+        SLOT_HDR.pack_into(self.shm.buf, k * _slot_size(self.w, self.h), seq, mw, mh, 0, FREE)
+        return out, seq
+
     def close(self, unlink: bool = False) -> None:
         self.shm.close()
         if unlink:
@@ -179,6 +211,8 @@ def _serve(sock_path: str, shm_name: str, w: int, h: int) -> int:
     send({"event": "ready", "pid": os.getpid()})
 
     backend = state.delegate.backend
+    maps_on = [False]  # {"cmd": "maps", "on": true} from a viewer-ful client
+    last_map_id = [0]
 
     def finish(frame: "Frame", seq: int, t0: float, sub: Optional[dict]) -> None:
         results = state.process(frame, submitted=sub)
@@ -198,6 +232,18 @@ def _serve(sock_path: str, shm_name: str, w: int, h: int) -> int:
             mb = results.minimap_bounds
             out["minimap"] = [mb.left, mb.top, mb.right, mb.bottom] if mb else None
         send(out)
+        # Map push, display-cadence: only when a viewer asked, only when the
+        # backend's checksum cache says the pixels changed (identical object
+        # = unchanged, mirroring app._on_update's id() dedup), and only when
+        # the client freed the slot (a slow viewer drops map frames, never
+        # detections).
+        if maps_on[0] and results is not None:
+            m = results.map  # lazy device fetch, checksum-deduped
+            if m is not None and id(m) != last_map_id[0]:
+                if ring.try_write_map(m, seq):
+                    last_map_id[0] = id(m)
+                    send({"event": "map", "seq": seq,
+                          "mw": m.shape[1], "mh": m.shape[0]})
 
     # Pipelined consumption, same shape as VisionLoop: when the client is
     # STREAMING (another frame message is already waiting on the socket, or
@@ -225,6 +271,9 @@ def _serve(sock_path: str, shm_name: str, w: int, h: int) -> int:
                 break
             if cmd == "ping":
                 send({"event": "pong"})
+                continue
+            if cmd == "maps":
+                maps_on[0] = bool(msg.get("on"))
                 continue
             if cmd != "frame":
                 continue
@@ -311,9 +360,12 @@ class WorkerClient:
         sock_dir: str = "/tmp",
         env: Optional[dict] = None,
         max_restarts: int = 100,
+        on_map: Optional[Callable[[np.ndarray, int], None]] = None,
     ) -> None:
         self.w, self.h = w, h
         self.on_result = on_result
+        self.on_map = on_map
+        self._maps_on = False
         self._env = env
         self._max_restarts = max_restarts
         self.restarts = 0
@@ -374,9 +426,15 @@ class WorkerClient:
                     ev = msg.get("event")
                     if ev == "ready":
                         self._ready.set()
+                        if self._maps_on:  # re-arm after a recycle restart
+                            self._send_cmd({"cmd": "maps", "on": True})
                     elif ev == "recycling":
                         recycling = True
                         log.info("worker recycling after %s uploaded bytes", msg.get("h2d_bytes"))
+                    elif ev == "map":
+                        got = self.ring.read_map()
+                        if got is not None and self.on_map is not None:
+                            self.on_map(got[0], got[1])
                     elif ev == "result":
                         self.on_result(msg)
                 conn.close()
@@ -398,6 +456,24 @@ class WorkerClient:
 
     def wait_ready(self, timeout: float = 600.0) -> bool:
         return self._ready.wait(timeout)
+
+    def _send_cmd(self, obj: dict) -> bool:
+        with self._lock:
+            wfile = self._wfile
+            if wfile is None:
+                return False
+            try:
+                wfile.write(json.dumps(obj) + "\n")
+                wfile.flush()
+                return True
+            except Exception:
+                return False
+
+    def set_maps(self, on: bool) -> None:
+        """Ask the worker to publish the ui map (through the shm map slot)
+        whenever its device checksum changes. Survives worker recycles."""
+        self._maps_on = on
+        self._send_cmd({"cmd": "maps", "on": on})
 
     def submit(self, image: np.ndarray, dpi: int = 96) -> Optional[int]:
         """Publish a frame; returns its seq, or None if dropped (ring full /

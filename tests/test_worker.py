@@ -107,6 +107,36 @@ def test_worker_recycles_and_recovers():
         wc.close()
 
 
+def test_worker_map_slot():
+    """set_maps(True) makes the worker publish the RGBA ui map through the
+    shm map slot whenever its checksum changes; the client callback gets a
+    map-sized array (the app's web layer pushes it to viewers)."""
+    col = Collector()
+    maps = []
+    ev = threading.Event()
+
+    def on_map(rgba, seq):
+        maps.append((rgba, seq))
+        ev.set()
+
+    wc = WorkerClient(W, H, col, on_map=on_map)
+    try:
+        assert wc.wait_ready(timeout=240)
+        wc.set_maps(True)
+        img = make_frames(1)[0]
+        seq = submit_until_accepted(wc, img)
+        col.wait_for(seq)
+        assert ev.wait(timeout=60), "no map published"
+        rgba, mseq = maps[0]
+        from smh_tpu import consts as C
+
+        g = C.map_geometry(W, H)
+        assert rgba.shape == (g.map_h, g.map_w, 4)
+        assert rgba[..., 3].min() == 255  # opaque RGBA, a real ui image
+    finally:
+        wc.close()
+
+
 def test_frame_ring_mailbox_semantics():
     """try_publish drops when all slots are busy; release frees them."""
     ring = FrameRing("smh-test-ring-%d" % os.getpid(), 64, 48, create=True)
