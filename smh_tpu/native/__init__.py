@@ -97,6 +97,20 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_float,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.smh_diff_subchunks.restype = ctypes.c_int
+        lib.smh_diff_subchunks.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.smh_gather_subchunks.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+        ]
         lib.smh_find_lines_view.restype = ctypes.c_int
         lib.smh_find_lines_view.argtypes = [
             ctypes.c_void_p,
@@ -161,3 +175,44 @@ def find_lines(
         Line(Point(out[i * 4], out[i * 4 + 1]), Point(out[i * 4 + 2], out[i * 4 + 3]))
         for i in range(n)
     ]
+
+
+def diff_subchunks(a: np.ndarray, b: np.ndarray, out_idx: np.ndarray) -> int:
+    """Indices of differing 32 B sub-chunks of two equal-size u8 buffers
+    (the delta transport's upload granularity) — exactly the set the numpy
+    two-level refine produces, at memory speed with no bool temporaries.
+    out_idx: int32 scratch with a.size // 32 capacity. Returns the count."""
+    lib = load()
+    assert lib is not None
+    assert a.dtype == np.uint8 and a.flags.c_contiguous
+    assert b.dtype == np.uint8 and b.flags.c_contiguous
+    assert a.size == b.size and a.size % 32 == 0
+    assert out_idx.dtype == np.int32 and out_idx.size >= a.size // 32
+    return lib.smh_diff_subchunks(
+        a.ctypes.data_as(ctypes.c_void_p),
+        b.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(a.size),
+        out_idx.ctypes.data_as(ctypes.c_void_p),
+    )
+
+
+def gather_subchunks(
+    packed: np.ndarray, idx: np.ndarray, n_changed: int, bucket: int,
+    out: np.ndarray,
+) -> None:
+    """Build the delta upload buffer: int32 index table padded to `bucket`
+    by repeating the last index, then the 32 B payloads (the numpy tail of
+    load_frame, one pass, no fancy-index temporaries)."""
+    lib = load()
+    assert lib is not None
+    assert packed.dtype == np.uint8 and packed.flags.c_contiguous
+    assert idx.dtype == np.int32 and idx.flags.c_contiguous
+    assert 1 <= n_changed <= bucket and idx.size >= n_changed
+    assert out.dtype == np.uint8 and out.size == bucket * 4 + bucket * 32
+    lib.smh_gather_subchunks(
+        packed.ctypes.data_as(ctypes.c_void_p),
+        idx.ctypes.data_as(ctypes.c_void_p),
+        n_changed,
+        bucket,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )

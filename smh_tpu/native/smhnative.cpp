@@ -265,6 +265,47 @@ int smh_find_lines_view(const uint8_t* crop, int ch, int cw, int fh, int fw,
                            out_lines);
 }
 
-int smh_native_version() { return 2; }
+// Delta-transport diff: indices of 32-byte sub-chunks where a != b.
+//
+// Exactly the output of the Python two-level refine (tpu_backend.
+// _refine_subchunks over a 128 B u64-view compare): the 128 B level only
+// exists to keep the numpy two-pass cheap — "all differing 32 B sub-chunks"
+// is the same set. numpy pays ~10.7 ms at 4K (the elementwise != builds an
+// 18.7 M bool temp, then flatnonzero re-reads it); this loop runs at memory
+// speed (~1-2 ms for 2x18.7 MB) and emits indices directly. n_bytes must be
+// a multiple of 32 (the transport pads to _DELTA_CHUNK=128). out_idx must
+// hold n_bytes/32 entries (worst case). Returns the count.
+int smh_diff_subchunks(const uint8_t* a, const uint8_t* b, int64_t n_bytes,
+                       int32_t* out_idx) {
+    const uint64_t* pa = (const uint64_t*)a;
+    const uint64_t* pb = (const uint64_t*)b;
+    const int64_t n_sub = n_bytes >> 5;  // 32 B = 4 u64
+    int64_t n = 0;
+    for (int64_t i = 0; i < n_sub; i++) {
+        const int64_t o = i << 2;
+        const uint64_t d = (pa[o] ^ pb[o]) | (pa[o + 1] ^ pb[o + 1]) |
+                           (pa[o + 2] ^ pb[o + 2]) | (pa[o + 3] ^ pb[o + 3]);
+        if (d) out_idx[n++] = (int32_t)i;
+    }
+    return (int)n;
+}
+
+// Gather the changed sub-chunks into the upload buffer: idx table (int32,
+// padded to `bucket` by repeating the last index) followed by the 32 B
+// payloads. Mirrors the numpy tail of load_frame; one pass, no fancy-index
+// temps. Requires n_changed >= 1 and bucket >= n_changed.
+void smh_gather_subchunks(const uint8_t* packed, const int32_t* idx,
+                          int n_changed, int bucket, uint8_t* out) {
+    int32_t* oidx = (int32_t*)out;
+    uint8_t* odata = out + (size_t)bucket * 4;
+    const int32_t last = idx[n_changed - 1];
+    for (int i = 0; i < bucket; i++) {
+        const int32_t k = i < n_changed ? idx[i] : last;
+        oidx[i] = k;
+        std::memcpy(odata + (size_t)i * 32, packed + (size_t)k * 32, 32);
+    }
+}
+
+int smh_native_version() { return 3; }
 
 }  // extern "C"

@@ -102,6 +102,7 @@ class BatchPipeline:
         from .. import native
 
         self._native = native if native.available() else None
+        self._diff_scratch = None  # int32 index scratch for the native diff
         self._pool = ThreadPoolExecutor(max_workers=max(1, host_workers), thread_name_prefix="batch-host")
         self._ocr_lock = threading.Lock()
         self._scales_cache: dict = {}
@@ -226,33 +227,64 @@ class BatchPipeline:
             _refine_subchunks,
         )
 
-        # Two-level diff, shared with the per-frame backend (tpu_backend.
-        # _refine_subchunks): compare at 128 B, refine to 32 B sub-chunks
-        # from the SAME elementwise compare.
+        # Two-level diff, shared with the per-frame backend: compare at
+        # 128 B, refine to 32 B sub-chunks. The native engine emits the
+        # identical index set at memory speed (no bool temporaries); numpy
+        # is the fallback.
         n_chunks = rois.shape[1] // _DELTA_CHUNK
         n_sub = n_chunks * (_DELTA_CHUNK // _DELTA_SUB)
-        prev64 = self._mirror.view(np.uint64).reshape(n_chunks, -1)
         changed: list[np.ndarray] = []
-        for i in range(n):
-            cur64 = rois[i].view(np.uint64).reshape(n_chunks, -1)
-            ne = cur64 != prev64
-            ch = np.flatnonzero(ne.any(axis=1)).astype(np.int32)
-            changed.append(_refine_subchunks(ne, ch))
-            prev64 = cur64
+        if self._native is not None:
+            scratch = self._diff_scratch
+            if scratch is None or scratch.size < n_sub:
+                scratch = self._diff_scratch = np.empty(n_sub, np.int32)
+            prev = self._mirror
+            for i in range(n):
+                cnt = self._native.diff_subchunks(rois[i], prev, scratch)
+                if cnt == 0:
+                    changed.append(np.zeros(1, dtype=np.int32))
+                else:
+                    changed.append(scratch[:cnt].copy())
+                prev = rois[i]
+        else:
+            prev64 = self._mirror.view(np.uint64).reshape(n_chunks, -1)
+            for i in range(n):
+                cur64 = rois[i].view(np.uint64).reshape(n_chunks, -1)
+                ne = cur64 != prev64
+                ch = np.flatnonzero(ne.any(axis=1)).astype(np.int32)
+                changed.append(_refine_subchunks(ne, ch))
+                prev64 = cur64
         bucket = _delta_bucket(max(c.size for c in changed), n_sub)
         if bucket is None:
             return None
         b = self.batch
         buf = np.empty(b * bucket * 4 + b * bucket * _DELTA_SUB, dtype=np.uint8)
-        idxs = buf[: b * bucket * 4].view(np.int32).reshape(b, bucket)
-        datas = buf[b * bucket * 4 :].reshape(b, bucket, _DELTA_SUB)
-        for i in range(b):
-            ch = changed[i] if i < n else np.zeros(1, dtype=np.int32)
-            src = rois[min(i, n - 1)].reshape(n_sub, _DELTA_SUB)
-            idxs[i, : ch.size] = ch
-            idxs[i, ch.size :] = ch[-1]
-            datas[i, : ch.size] = src[ch]
-            datas[i, ch.size :] = src[ch[-1]]
+        if self._native is not None:
+            # The batch layout groups idx tables for ALL frames first, then
+            # all payload blocks; the C gather emits [idx | data] per frame,
+            # so gather into a small per-frame tmp and split (bucket*36 B,
+            # trivial next to the diff itself).
+            idxs_bytes = buf[: b * bucket * 4]
+            datas = buf[b * bucket * 4 :]
+            for i in range(b):
+                ch = changed[i] if i < n else np.zeros(1, dtype=np.int32)
+                src = rois[min(i, n - 1)]
+                tmp = np.empty(bucket * 4 + bucket * _DELTA_SUB, dtype=np.uint8)
+                self._native.gather_subchunks(src, ch, int(ch.size), bucket, tmp)
+                idxs_bytes[i * bucket * 4 : (i + 1) * bucket * 4] = tmp[: bucket * 4]
+                datas[i * bucket * _DELTA_SUB : (i + 1) * bucket * _DELTA_SUB] = (
+                    tmp[bucket * 4 :]
+                )
+        else:
+            idxs = buf[: b * bucket * 4].view(np.int32).reshape(b, bucket)
+            datas = buf[b * bucket * 4 :].reshape(b, bucket, _DELTA_SUB)
+            for i in range(b):
+                ch = changed[i] if i < n else np.zeros(1, dtype=np.int32)
+                src = rois[min(i, n - 1)].reshape(n_sub, _DELTA_SUB)
+                idxs[i, : ch.size] = ch
+                idxs[i, ch.size :] = ch[-1]
+                datas[i, : ch.size] = src[ch]
+                datas[i, ch.size :] = src[ch[-1]]
         return buf, bucket
 
     def process(self, frames: list[np.ndarray]) -> list[BatchResult]:

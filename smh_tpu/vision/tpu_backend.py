@@ -167,7 +167,8 @@ def _delta_bucket(n: int, n_chunks: int) -> Optional[int]:
 
 
 def _pack_rois_bgr(
-    map_roi: np.ndarray, btn_roi: np.ndarray, pad_to: int = 0
+    map_roi: np.ndarray, btn_roi: np.ndarray, pad_to: int = 0,
+    out: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Flatten both BGRA ROI views into one u8 upload buffer: the MAP as
     PLANE-MAJOR BGR (B plane, then G, then R), the (small) button ROI
@@ -184,7 +185,14 @@ def _pack_rois_bgr(
     msz = mh * mw
     used = msz * 3 + bh * bw * 3
     total = used if pad_to <= 0 else ((used + pad_to - 1) // pad_to) * pad_to
-    packed = np.empty(total, dtype=np.uint8)
+    # `out` recycles a retired buffer (delta-path mirrors only — a buffer a
+    # full upload handed to device_put must NEVER be rewritten: the device
+    # reads host memory lazily and would tear). A fresh np.empty page-faults
+    # its 18.7 MB at 4K on first touch (~2-3 ms/frame of kernel time).
+    if out is not None and out.size == total:
+        packed = out
+    else:
+        packed = np.empty(total, dtype=np.uint8)
     packed[used:] = 0
     planes = [packed[c * msz : (c + 1) * msz].reshape(mh, mw) for c in range(3)]
     bdst = packed[msz * 3 : used].reshape(bh, bw, 3)
@@ -385,6 +393,12 @@ class TpuBackend:
         self._lsd_offset: tuple[int, int] = (0, 0)  # (x, y) of crop in map
         self._march_max_len: Optional[float] = None  # bbox diag bound
         self._job_seq = 0  # this frame's dispatch seq (chain-depth tracking)
+        self._diff_scratch: Optional[np.ndarray] = None  # native diff indices
+        # Retired delta-path mirrors, reusable as pack buffers (full-upload
+        # buffers escape to device_put and never come back — lazy host
+        # reads). Submit-thread-only.
+        self._pack_pool: list[np.ndarray] = []
+        self._mirror_recyclable = False
         self._debug = False
         self._grayscale = True
         self._dispatch_flags: tuple = (True, True, True, None, None, "off", "gray", None, "off", None)
@@ -491,6 +505,8 @@ class TpuBackend:
             self._ladder_w = None
             self._resident = None  # resolution change: restart the chain
             self._mirror = None
+            self._pack_pool.clear()
+            self._mirror_recyclable = False
         g = self.geom
         self.frame_np = frame_bgra
         # Upload only the ROIs the pipeline reads (map + close-button), as
@@ -504,7 +520,10 @@ class TpuBackend:
         # each other's pixels — caught by test_pipelined_matches_sync).
         map_roi = frame_bgra[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w]
         btn_roi = frame_bgra[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w]
-        packed = _pack_rois_bgr(map_roi, btn_roi, pad_to=_DELTA_CHUNK)
+        packed = _pack_rois_bgr(
+            map_roi, btn_roi, pad_to=_DELTA_CHUNK,
+            out=self._pack_pool.pop() if self._pack_pool else None,
+        )
 
         # Delta H2D: diff against the HOST MIRROR of the device-resident
         # buffer (not simply the previous frame — a loaded-but-never-
@@ -519,25 +538,45 @@ class TpuBackend:
             and self._resident is not None
         ):
             n_chunks = packed.size // _DELTA_CHUNK
-            ne = (
-                packed.view(np.uint64).reshape(n_chunks, -1)
-                != self._mirror.view(np.uint64).reshape(n_chunks, -1)
-            )
-            changed = np.flatnonzero(ne.any(axis=1)).astype(np.int32)
-            changed32 = _refine_subchunks(ne, changed)
             n_sub = n_chunks * (_DELTA_CHUNK // _DELTA_SUB)
-            bucket = _delta_bucket(int(changed32.size), n_sub)
-            if bucket is not None:
-                idx = np.empty(bucket, dtype=np.int32)
-                idx[: changed32.size] = changed32
-                idx[changed32.size :] = changed32[-1]  # repeat: same data, no-op
-                buf = np.empty(4 * bucket + bucket * _DELTA_SUB, dtype=np.uint8)
-                buf[: 4 * bucket].view(np.int32)[:] = idx
-                chunks2d = packed.reshape(n_sub, _DELTA_SUB)
-                data = buf[4 * bucket :].reshape(bucket, _DELTA_SUB)
-                data[: changed32.size] = chunks2d[changed32]
-                data[changed32.size :] = chunks2d[changed32[-1]]
-                delta = (buf, bucket, buf.size)
+            from .. import native
+
+            if native.available() and os.environ.get("SMH_NATIVE_DIFF", "1") != "0":
+                # Native diff: identical output to the two-level numpy
+                # refine, at memory speed (the numpy != materializes an
+                # n_sub*4 bool temp and re-reads it: ~10.7 ms at 4K vs
+                # ~1-2 ms here — the largest host stage of the live loop).
+                scratch = self._diff_scratch
+                if scratch is None or scratch.size < n_sub:
+                    scratch = self._diff_scratch = np.empty(n_sub, np.int32)
+                n = native.diff_subchunks(packed, self._mirror, scratch)
+                if n == 0:
+                    scratch[0] = 0  # flags may still differ: no-op chunk 0
+                    n = 1
+                bucket = _delta_bucket(n, n_sub)
+                if bucket is not None:
+                    buf = np.empty(4 * bucket + bucket * _DELTA_SUB, dtype=np.uint8)
+                    native.gather_subchunks(packed, scratch, n, bucket, buf)
+                    delta = (buf, bucket, buf.size)
+            else:
+                ne = (
+                    packed.view(np.uint64).reshape(n_chunks, -1)
+                    != self._mirror.view(np.uint64).reshape(n_chunks, -1)
+                )
+                changed = np.flatnonzero(ne.any(axis=1)).astype(np.int32)
+                changed32 = _refine_subchunks(ne, changed)
+                bucket = _delta_bucket(int(changed32.size), n_sub)
+                if bucket is not None:
+                    idx = np.empty(bucket, dtype=np.int32)
+                    idx[: changed32.size] = changed32
+                    idx[changed32.size :] = changed32[-1]  # repeat: no-op
+                    buf = np.empty(4 * bucket + bucket * _DELTA_SUB, dtype=np.uint8)
+                    buf[: 4 * bucket].view(np.int32)[:] = idx
+                    chunks2d = packed.reshape(n_sub, _DELTA_SUB)
+                    data = buf[4 * bucket :].reshape(bucket, _DELTA_SUB)
+                    data[: changed32.size] = chunks2d[changed32]
+                    data[changed32.size :] = chunks2d[changed32[-1]]
+                    delta = (buf, bucket, buf.size)
 
         # The pending buffers stay HOST-side: dispatch passes them to the jit
         # directly and the implicit call-time transfer is one relay exchange
@@ -804,7 +843,7 @@ class TpuBackend:
             self._resident = out.pop("resident")
             self.rois_dev = self._resident
             self._results = out
-            self._mirror = self._pending_host
+            self._retire_mirror(recyclable_next=True)
             self.stats["delta_frames"] += 1
             self.stats["h2d_bytes"] += nbytes
         elif pending is not None:
@@ -817,7 +856,8 @@ class TpuBackend:
             self._resident = out.pop("resident")
             self.rois_dev = self._resident
             self._results = out
-            self._mirror = self._pending_host
+            # This frame's packed buffer rode device_put: it escaped.
+            self._retire_mirror(recyclable_next=False)
             self.stats["full_uploads"] += 1
             self.stats["h2d_bytes"] += nbytes
         else:
@@ -833,6 +873,17 @@ class TpuBackend:
         self._adapt.disp_seq += 1
         self._job_seq = self._adapt.disp_seq
 
+
+    def _retire_mirror(self, recyclable_next: bool) -> None:
+        """Advance the diff base to the just-dispatched frame's pack buffer.
+        The OLD mirror goes back to the pack pool iff its own dispatch rode
+        the delta path (a fully-uploaded buffer is lazily read by the
+        device and must never be rewritten)."""
+        old = self._mirror
+        if old is not None and self._mirror_recyclable and len(self._pack_pool) < 2:
+            self._pack_pool.append(old)
+        self._mirror = self._pending_host
+        self._mirror_recyclable = recyclable_next
 
     def snapshot_job(self) -> "TpuBackend":
         """Capture the in-flight frame as a CONSUME VIEW: a shallow copy of
