@@ -76,18 +76,26 @@ def main() -> None:
         assert wc.wait_ready(timeout=900), "worker never ready"
         t_end = time.time() + args.minutes * 60
         i = 0
+        last_sample = 0.0
         while time.time() < t_end:
+            # Submit at full rate (the ring applies backpressure; drops are
+            # mailbox semantics); sample RSS ~1 Hz.
             wc.submit(frames[i % len(frames)])
             i += 1
-            pid = wc._proc.pid if wc._proc else None
-            if pid:
-                r = rss_mb(pid)
-                if r > 0:
-                    rss_samples.append(r)
-                    key = wc.restarts
-                    per_incarnation_max[key] = max(per_incarnation_max.get(key, 0.0), r)
-            client_rss.append(rss_mb(os.getpid()))
-            time.sleep(1.0)
+            now = time.time()
+            if now - last_sample >= 1.0:
+                last_sample = now
+                pid = wc._proc.pid if wc._proc else None
+                if pid:
+                    r = rss_mb(pid)
+                    if r > 0:
+                        rss_samples.append(r)
+                        key = wc.restarts
+                        per_incarnation_max[key] = max(
+                            per_incarnation_max.get(key, 0.0), r
+                        )
+                client_rss.append(rss_mb(os.getpid()))
+            time.sleep(0.01)
         with lock:
             out.update(
                 frames_processed=results["n"],
