@@ -529,7 +529,9 @@ class VisionLoop:
         self.on_update = on_update
         self._interval = 1.0 / fps
         self.pipelined = pipelined
-        self.depth = max(2, depth)
+        import os as _os
+
+        self.depth = max(2, int(_os.environ.get("SMH_PIPE_DEPTH", depth)))
         self._shutdown = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.fake_input: Optional[np.ndarray] = None  # Fake Input harness

@@ -438,7 +438,18 @@ class WorkerClient:
                     elif ev == "result":
                         self.on_result(msg)
                 conn.close()
-                self._proc.wait(timeout=30)
+                try:
+                    self._proc.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    # A worker that reported EOF but never exited must not
+                    # coexist with its replacement (two device clients).
+                    log.warning("worker pid %s hung after EOF; terminating", self._proc.pid)
+                    self._proc.terminate()
+                    try:
+                        self._proc.wait(timeout=10)
+                    except subprocess.TimeoutExpired:
+                        self._proc.kill()
+                        self._proc.wait(timeout=10)
                 if not recycling and not self._closed:
                     log.warning("worker died rc=%s; restarting", self._proc.returncode)
             except Exception:
@@ -508,6 +519,10 @@ class WorkerClient:
                 self._proc.wait(timeout=10)
             except Exception:
                 self._proc.terminate()
+                try:
+                    self._proc.wait(timeout=10)
+                except Exception:
+                    self._proc.kill()
         self._thread.join(timeout=5)
         try:
             self._listener.close()
