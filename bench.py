@@ -398,9 +398,8 @@ def measure_corpus(res: str, iters: int) -> dict:
             state.process(Frame(frames[n], dpi=96))
             lat.append((time.perf_counter() - t0) * 1000.0)
     stats = {k: backend.stats[k] - stats0.get(k, 0) for k in backend.stats}
-    state.close()
     lat.sort()
-    return {
+    out = {
         "corpus_p50_ms": round(st.median(lat), 3),
         "corpus_p90_ms": round(lat[int(0.9 * (len(lat) - 1))], 3),
         "corpus_samples": len(names),
@@ -412,7 +411,41 @@ def measure_corpus(res: str, iters: int) -> dict:
         "corpus_h2d_bytes_per_frame": round(
             stats.get("h2d_bytes", 0) / max(1, iters * len(names))
         ),
+        # Context for corpus_p50_ms: every sample is an UNRELATED screenshot,
+        # so the delta transport degenerates to ~full uploads — this measures
+        # the worst-case (map-switch) frame, not live play.
+        "corpus_note": "unrelated frames = no temporal coherence (map-switch cost)",
     }
+
+    # LIVE sequences on real content: one marker line DRAGGED across a real
+    # screenshot per frame — real mask density + real background with the
+    # temporal coherence an actual capture stream has (the delta transport's
+    # design point). Steady-state p50 over the drag, first frame excluded.
+    live_lat: list[float] = []
+    stats1 = dict(backend.stats)
+    for n in names[:3]:
+        base = frames[n]
+        for step in range(12):
+            f = base.copy()
+            testing.draw_marker_line(
+                f, (80 + 12 * step, 90 + 4 * step), (520 + 12 * step, 420)
+            )
+            t0 = time.perf_counter()
+            r = state.process(Frame(f, dpi=96))
+            dt = (time.perf_counter() - t0) * 1000.0
+            if step > 0:  # step 0 pays the map switch (measured above)
+                live_lat.append(dt)
+            assert r is not None
+    stats2 = {k: backend.stats[k] - stats1.get(k, 0) for k in backend.stats}
+    live_lat.sort()
+    out["corpus_live_p50_ms"] = round(st.median(live_lat), 3)
+    out["corpus_live_p90_ms"] = round(live_lat[int(0.9 * (len(live_lat) - 1))], 3)
+    out["corpus_live_h2d_bytes_per_frame"] = round(
+        stats2.get("h2d_bytes", 0) / max(1, len(live_lat) + 3)
+    )
+    out["corpus_live_sparse_misses"] = stats2.get("lsd_sparse_misses")
+    state.close()
+    return out
 
 
 def main() -> None:

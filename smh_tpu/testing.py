@@ -121,6 +121,30 @@ def make_frame(
     return frame
 
 
+def draw_marker_line(
+    frame_bgra: np.ndarray,
+    p0: tuple[int, int],
+    p1: tuple[int, int],
+    thickness: int = 2,
+) -> None:
+    """Draw one alpha-fireteam marker line into a frame's map ROI in place
+    (map-ROI coordinates) — overlays live-play-like motion onto REAL
+    screenshots (bench `--mode corpus` live sequences)."""
+    from . import consts as C
+
+    g = C.map_geometry(frame_bgra.shape[1], frame_bgra.shape[0])
+    map_view = frame_bgra[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w]
+    mask = np.zeros(map_view.shape[:2], dtype=np.uint8)
+    plot_line(mask, p0[0], p0[1], p1[0], p1[1], 255)
+    if thickness > 1:
+        from .vision.pixmath import dilate_l1_radius1
+
+        for _ in range(thickness - 1):
+            mask = dilate_l1_radius1(mask)
+    ys, xs = np.nonzero(mask)
+    _put_rgb(map_view, ys, xs, ALPHA_MARKER_RGB)
+
+
 def make_video_frames(w: int, h: int, n: int) -> list[np.ndarray]:
     """A deterministic video-like sequence: marker lines move continuously
     frame to frame and a BRQ patch changes every frame (defeats the ratio

@@ -510,6 +510,7 @@ class VisionLoop:
         fps: float = float(C.VISION_FPS),
         pipelined: bool = False,
         depth: int = 3,
+        threaded_submit: Optional[bool] = None,
     ) -> None:
         """pipelined=True keeps up to `depth` frames in flight: frame N's
         upload + device dispatch + background hostpack D2H overlap the host
@@ -523,7 +524,16 @@ class VisionLoop:
         depth 2 pays ~half of it. At the production 15 FPS cap the 66 ms
         frame interval exceeds the fetch latency, so every pending frame
         drains immediately and depth adds NO result latency; it only matters
-        when the loop runs uncapped (benching, offline)."""
+        when the loop runs uncapped (benching, offline).
+
+        threaded_submit runs the submit half (capture poll + pack + diff +
+        dispatch) on its own thread, overlapping it with the consume half's
+        host stages — BatchPipeline.stream()'s two-thread discipline on the
+        per-frame driver. Safe because consume operates on snapshot VIEWS
+        (TpuBackend.snapshot_job): submit mutates only the live backend's
+        per-frame fields and the submit-owned delta chain. Default: on when
+        the host has more than one core (on a single core the two halves
+        just time-slice), overridable via SMH_THREADED_SUBMIT=0/1."""
         self.state = state
         self.capture = capture
         self.on_update = on_update
@@ -532,6 +542,13 @@ class VisionLoop:
         import os as _os
 
         self.depth = max(2, int(_os.environ.get("SMH_PIPE_DEPTH", depth)))
+        if threaded_submit is None:
+            env = _os.environ.get("SMH_THREADED_SUBMIT")
+            if env is not None:
+                threaded_submit = env != "0"
+            else:
+                threaded_submit = (_os.cpu_count() or 1) > 1
+        self.threaded_submit = bool(threaded_submit) and pipelined
         self._shutdown = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.fake_input: Optional[np.ndarray] = None  # Fake Input harness
@@ -560,8 +577,83 @@ class VisionLoop:
             return
         self.on_update(results, debug)
 
+    def _run_threaded(self) -> Optional[Frame]:
+        """Two-thread pipelined loop: THIS thread consumes (fetch + host
+        stages + on_update, in submit order); the submitter thread polls
+        capture and runs submit. The queue bounds in-flight frames at
+        `depth` (depth-1 queued + 1 being consumed).
+
+        Returns None on shutdown. If submit() ever yields no job (numpy
+        backend, or a TPU submit failure that already mutated live state),
+        threading is no longer sound — consume would have to touch the live
+        backend concurrently with submit — so the submitter hands the
+        un-submitted frame back and the caller continues single-threaded."""
+        import queue
+
+        jobs: queue.Queue = queue.Queue(maxsize=max(1, self.depth - 1))
+        done = object()
+        fallback: list[Frame] = []
+
+        def submitter() -> None:
+            try:
+                while not self._shutdown.is_set():
+                    if self.state.settings.paused():
+                        self._shutdown.wait(0.05)
+                        continue
+                    frame = self._next_frame()
+                    if frame is None:
+                        self._shutdown.wait(self._interval)
+                        continue
+                    t0 = time.perf_counter()
+                    sub = self.state.submit(frame)
+                    if sub is None:
+                        fallback.append(frame)
+                        return
+                    # Blocking put with a shutdown check (the consumer always
+                    # drains, so this makes progress).
+                    while not self._shutdown.is_set():
+                        try:
+                            jobs.put((frame, sub), timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    elapsed = time.perf_counter() - t0
+                    if elapsed < self._interval:
+                        self._shutdown.wait(self._interval - elapsed)
+            finally:
+                while True:  # always deliver the sentinel
+                    try:
+                        jobs.put(done, timeout=0.2)
+                        break
+                    except queue.Full:
+                        try:  # consumer gone at shutdown: make room
+                            jobs.get_nowait()
+                        except queue.Empty:
+                            pass
+
+        t = threading.Thread(target=submitter, name="vision-submit", daemon=True)
+        t.start()
+        while True:
+            j = jobs.get()
+            if j is done:
+                break
+            frame, sub = j
+            self._step(frame, sub)
+        t.join(timeout=5.0)
+        if fallback and not self._shutdown.is_set():
+            log.info("backend cannot pipeline; dropping to the single-threaded loop")
+            return fallback[0]
+        return None
+
     def _run(self) -> None:
         from collections import deque
+
+        if self.pipelined and self.threaded_submit:
+            leftover = self._run_threaded()
+            if leftover is None:
+                return
+            self._step(leftover)
+            self.threaded_submit = False  # continue single-threaded below
 
         # Pending submitted frames, oldest first; at most depth-1 wait here
         # (the depth-th is the one being submitted).

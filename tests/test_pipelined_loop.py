@@ -71,12 +71,13 @@ def test_pipelined_matches_sync(hardware):
     truth_state.close()
     assert len(truths) == 3  # three distinct marker positions
 
-    def collect(pipelined):
+    def collect(pipelined, threaded=False):
         state = make_state()
         updates = []
         cap = CaptureThread(Cycle(frames), hz=120).start()
         loop = VisionLoop(
-            state, cap, lambda r, d: updates.append(r), fps=120, pipelined=pipelined
+            state, cap, lambda r, d: updates.append(r), fps=120,
+            pipelined=pipelined, threaded_submit=threaded,
         ).start()
         deadline = time.time() + 180  # generous: CPU jit compiles under parallel load
         while len(updates) < 6 and time.time() < deadline:
@@ -86,12 +87,15 @@ def test_pipelined_matches_sync(hardware):
         state.close()
         return updates[:6]
 
-    for pipelined in (False, True):
-        got = collect(pipelined)
+    # threaded=True exercises the two-thread submit/consume discipline (the
+    # snapshot views make it sound; on the numpy backend it must fall back
+    # to the single-threaded loop and still deliver).
+    for pipelined, threaded in ((False, False), (True, False), (True, True)):
+        got = collect(pipelined, threaded)
         assert len(got) == 6
         seen = {summarize(u) for u in got if u}
-        assert seen <= truths, f"pipelined={pipelined}: torn/wrong detections"
-        assert len(seen) >= 2, f"pipelined={pipelined}: suspiciously low coverage"
+        assert seen <= truths, f"pipelined={pipelined},threaded={threaded}: torn/wrong detections"
+        assert len(seen) >= 2, f"pipelined={pipelined},threaded={threaded}: suspiciously low coverage"
 
 
 def test_pipelined_with_minimap_cadence():
