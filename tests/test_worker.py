@@ -79,6 +79,12 @@ def test_worker_end_to_end():
             # marker_lines are in map-ROI coords; worker reports the same
             assert abs(x0 - (40 + 5 * i)) <= 3 and abs(y0 - 60) <= 3
             assert msg["ms"] > 0
+        # A sleeping frame (deployment map closed: no red button) must come
+        # back sleeping, not crash the ring/pipeline.
+        sleeper = testing.make_frame(W, H, with_button=False)
+        seq = submit_until_accepted(wc, sleeper)
+        msg = col.wait_for(seq)
+        assert msg["sleeping"] is True and "markers" not in msg
     finally:
         wc.close()
 
