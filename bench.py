@@ -318,13 +318,22 @@ def measure_worker(w: int, h: int, iters: int, stream_s: float = 6.0) -> dict:
             img = frames[i % len(frames)]
             t0 = time.perf_counter()
             seq = wc.submit(img)
-            assert seq is not None
+            if seq is None:  # worker restarting mid-measure: retry the frame
+                time.sleep(1.0)
+                continue
+            deadline = time.monotonic() + 300
             with cond:
                 while seq not in results:
-                    cond.wait(120)
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        # The result is LOST if the worker died with this
+                        # frame in flight — never hang the whole bench on it.
+                        raise RuntimeError(f"no worker result for seq {seq}")
+                    cond.wait(min(left, 10.0))
             lats.append((time.perf_counter() - t0) * 1000.0)
             msg = results.pop(seq)
             assert not msg["sleeping"] and msg["markers"], msg
+        assert lats, "no worker latencies measured"
         out["worker_e2e_p50_ms"] = round(st.median(lats), 3)
         # Streaming: saturate the ring; the worker's internal pipelining
         # overlaps its background fetches with the host stages.
