@@ -654,6 +654,16 @@ def main() -> None:
         out["fps_batched"] = round(1000.0 / batched_ms, 2)
         out["batched_stalled_batches"] = bstats_full.get("stalled_batches")
     out.update(worker_metrics)
+    # The sync p50 ("value") is RELAY-FLOORED: one frame's hostpack lands
+    # ~35-45 ms after its dispatch from any client-side process (measured,
+    # docs/DESIGN.md §3 round-4 probes) — the production shapes are the
+    # pipelined live loop, batch mode and the worker, whose numbers ride in
+    # this same JSON. On a PCIe-local TPU host the identical code path's
+    # fetch completes in ~10 us and sync e2e collapses to device + host.
+    out["sync_floor_note"] = (
+        "sync p50 is bounded by the relay's ~35-45 ms background fetch "
+        "completion; see fps_pipelined / batched_ms_per_frame / worker_*"
+    )
     # Cold-start accounting: per-entry-point jit bucket counts for THIS
     # process (each bucket = one compile on a cold cache) + the observed
     # warmup wall times. The round-3 cold start was 980 s; the census makes

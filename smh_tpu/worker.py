@@ -195,7 +195,26 @@ def _serve(sock_path: str, shm_name: str, w: int, h: int) -> int:
     # this CPython: the line sits in the writer's buffer forever) — every
     # send flushes explicitly.
     wfile = conn.makefile("w")
-    rfile = conn.makefile("r")
+
+    # Explicit read buffer instead of makefile("r"): the serve loop must
+    # know whether a complete COMMAND LINE is already buffered (a burst of
+    # frame messages can arrive in one recv; selecting on the raw socket
+    # alone would miss them and needlessly drain the pipeline).
+    rbuf = bytearray()
+
+    def buffered_line() -> bool:
+        return b"\n" in rbuf
+
+    def read_line() -> str:
+        """Blocking read of one newline-terminated message ('' on EOF)."""
+        while b"\n" not in rbuf:
+            chunk = conn.recv(65536)
+            if not chunk:
+                return ""
+            rbuf.extend(chunk)
+        line, _, rest = bytes(rbuf).partition(b"\n")
+        rbuf[:] = rest
+        return line.decode()
 
     def send(obj: dict) -> None:
         wfile.write(json.dumps(obj) + "\n")
@@ -210,7 +229,6 @@ def _serve(sock_path: str, shm_name: str, w: int, h: int) -> int:
         state.process(Frame(warm, 96))
     send({"event": "ready", "pid": os.getpid()})
 
-    backend = state.delegate.backend
     maps_on = [False]  # {"cmd": "maps", "on": true} from a viewer-ful client
     last_map_id = [0]
 
@@ -258,11 +276,15 @@ def _serve(sock_path: str, shm_name: str, w: int, h: int) -> int:
     pending: deque = deque()  # (frame, seq, t0, submitted)
     try:
         while True:
-            if pending and not select.select([conn], [], [], 0)[0]:
+            if (
+                pending
+                and not buffered_line()
+                and not select.select([conn], [], [], 0)[0]
+            ):
                 f, seq, t0, sub = pending.popleft()
                 finish(f, seq, t0, sub)
                 continue
-            line = rfile.readline()
+            line = read_line()
             if not line:
                 break
             msg = json.loads(line)
@@ -298,12 +320,13 @@ def _serve(sock_path: str, shm_name: str, w: int, h: int) -> int:
                 if len(pending) >= depth:
                     f, seq2, t2, sub2 = pending.popleft()
                     finish(f, seq2, t2, sub2)
+            backend = state.delegate.backend  # re-read: may hot-swap/fall back
             h2d = getattr(backend, "stats", {}).get("h2d_bytes", 0)
             if h2d > recycle_mb * 1e6:
                 # Retention bound (DESIGN.md §3): the relay client never
                 # frees uploaded bytes; recycle before RSS outgrows the
-                # budget. The supervisor restarts us; the compile cache
-                # makes the warm start cheap.
+                # budget. The supervisor restarts us (warm start ~60 s:
+                # per-bucket compile exchanges, see DESIGN.md §3).
                 while pending:
                     f, seq2, t2, sub2 = pending.popleft()
                     finish(f, seq2, t2, sub2)
