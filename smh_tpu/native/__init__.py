@@ -111,6 +111,22 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_void_p,
         ]
+        lib.smh_pack_diff.restype = ctypes.c_int
+        lib.smh_pack_diff.argtypes = [
+            ctypes.c_void_p,  # map bgra
+            ctypes.c_int64,   # map pitch
+            ctypes.c_int,     # mh
+            ctypes.c_int,     # mw
+            ctypes.c_void_p,  # btn bgra
+            ctypes.c_int64,   # btn pitch
+            ctypes.c_int,     # bh
+            ctypes.c_int,     # bw
+            ctypes.c_int64,   # total
+            ctypes.c_void_p,  # packed out
+            ctypes.c_void_p,  # mirror (NULL = pack only)
+            ctypes.c_void_p,  # dirty scratch
+            ctypes.c_void_p,  # out idx
+        ]
         lib.smh_find_lines_view.restype = ctypes.c_int
         lib.smh_find_lines_view.argtypes = [
             ctypes.c_void_p,
@@ -193,6 +209,48 @@ def diff_subchunks(a: np.ndarray, b: np.ndarray, out_idx: np.ndarray) -> int:
         b.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_int64(a.size),
         out_idx.ctypes.data_as(ctypes.c_void_p),
+    )
+
+
+def pack_diff(
+    map_roi: np.ndarray, btn_roi: np.ndarray, packed: np.ndarray,
+    mirror: "np.ndarray | None", dirty: "np.ndarray | None",
+    out_idx: "np.ndarray | None",
+) -> int:
+    """Fused planarize + delta diff: ONE sweep packs both BGRA ROI views
+    into the flat upload layout (_pack_rois_bgr's: plane-major BGR map,
+    interleaved-BGR button, zeroed tail) while diffing against `mirror`,
+    emitting the changed 32 B sub-chunk indices ascending — the exact set
+    (and order) of diff_subchunks over the two-pass result, without ever
+    re-reading the packed buffer from DRAM. mirror=None packs only
+    (returns -1). dirty: u8 scratch of packed.size//32; out_idx: int32 of
+    the same capacity (both unused in pack-only mode)."""
+    lib = load()
+    assert lib is not None
+    for roi in (map_roi, btn_roi):
+        assert roi.dtype == np.uint8 and roi.ndim == 3 and roi.shape[2] == 4
+        assert roi.strides[2] == 1 and roi.strides[1] == 4
+    assert packed.dtype == np.uint8 and packed.flags.c_contiguous
+    assert packed.size % 32 == 0
+    mh, mw = map_roi.shape[:2]
+    bh, bw = btn_roi.shape[:2]
+    assert packed.size >= (mh * mw + bh * bw) * 3
+    if mirror is not None:
+        assert mirror.dtype == np.uint8 and mirror.flags.c_contiguous
+        assert mirror.size == packed.size
+        n_sub = packed.size // 32
+        assert dirty is not None and dirty.dtype == np.uint8 and dirty.size >= n_sub
+        assert out_idx is not None and out_idx.dtype == np.int32 and out_idx.size >= n_sub
+    return lib.smh_pack_diff(
+        map_roi.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(map_roi.strides[0]), mh, mw,
+        btn_roi.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(btn_roi.strides[0]), bh, bw,
+        ctypes.c_int64(packed.size),
+        packed.ctypes.data_as(ctypes.c_void_p),
+        mirror.ctypes.data_as(ctypes.c_void_p) if mirror is not None else None,
+        dirty.ctypes.data_as(ctypes.c_void_p) if mirror is not None else None,
+        out_idx.ctypes.data_as(ctypes.c_void_p) if mirror is not None else None,
     )
 
 

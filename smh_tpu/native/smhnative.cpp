@@ -306,6 +306,182 @@ void smh_gather_subchunks(const uint8_t* packed, const int32_t* idx,
     }
 }
 
-int smh_native_version() { return 3; }
+int smh_native_version() { return 4; }
+
+}  // extern "C"
+
+// -- fused planarize + delta diff --------------------------------------------
+//
+// The per-frame host half used to be two full passes over the ROI buffer:
+// cv2.split (read 13 MB BGRA, write 9.7 MB planes + a discarded 3.2 MB alpha
+// scratch at 4K) then smh_diff_subchunks (re-read the 9.7 MB packed buffer
+// from DRAM plus the 9.7 MB mirror). This kernel does both in ONE sweep:
+// deinterleave the BGRA map ROI into the plane-major layout the device pass
+// reads (tpu_backend._pack_rois_bgr) while comparing every written 32 B
+// window against the mirror, marking changed sub-chunks in a bitmap. The
+// bytes are compared while still in registers, so the packed buffer is
+// written once and never re-read.
+//
+// Sub-chunk marking: plane rows start at arbitrary offsets mod 32, so one
+// 32-byte compare window can straddle two sub-chunks; the mismatch mask is
+// split at the sub-chunk boundary. A final sweep over the bitmap emits the
+// changed indices in ascending order — the EXACT set (and order) that
+// smh_diff_subchunks / the numpy two-level refine produce.
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
+namespace {
+
+inline void mark_window(uint8_t* dirty, int64_t o, uint32_t mismatch) {
+    if (!mismatch) return;
+    const int shift = (int)(o & 31);
+    if (shift == 0) {
+        dirty[o >> 5] = 1;
+        return;
+    }
+    const uint32_t lowmask = (1u << (32 - shift)) - 1u;
+    if (mismatch & lowmask) dirty[o >> 5] = 1;
+    if (mismatch & ~lowmask) dirty[(o >> 5) + 1] = 1;
+}
+
+template <bool DIFF>
+void pack_diff_impl(const uint8_t* map_bgra, int64_t map_pitch, int mh,
+                    int mw, const uint8_t* btn_bgra, int64_t btn_pitch,
+                    int bh, int bw, int64_t total, uint8_t* packed,
+                    const uint8_t* mirror, uint8_t* dirty) {
+    const int64_t msz = (int64_t)mh * mw;
+
+#if defined(__AVX2__)
+    const __m256i shuf = _mm256_setr_epi8(
+        0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15,
+        0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15);
+    const __m256i perm = _mm256_setr_epi32(0, 4, 1, 5, 2, 6, 3, 7);
+#endif
+
+    for (int y = 0; y < mh; y++) {
+        const uint8_t* row = map_bgra + (int64_t)y * map_pitch;
+        const int64_t rowbase = (int64_t)y * mw;
+        int x = 0;
+#if defined(__AVX2__)
+        for (; x + 32 <= mw; x += 32) {
+            const uint8_t* src = row + (int64_t)x * 4;
+            __m256i r0 = _mm256_loadu_si256((const __m256i*)(src));
+            __m256i r1 = _mm256_loadu_si256((const __m256i*)(src + 32));
+            __m256i r2 = _mm256_loadu_si256((const __m256i*)(src + 64));
+            __m256i r3 = _mm256_loadu_si256((const __m256i*)(src + 96));
+            // Per 16 B lane (4 pixels): gather to [BBBB GGGG RRRR AAAA].
+            r0 = _mm256_shuffle_epi8(r0, shuf);
+            r1 = _mm256_shuffle_epi8(r1, shuf);
+            r2 = _mm256_shuffle_epi8(r2, shuf);
+            r3 = _mm256_shuffle_epi8(r3, shuf);
+            // Dword unpacks collect same-channel dwords across registers;
+            // the final vpermd restores pixel order within each plane.
+            __m256i u0 = _mm256_unpacklo_epi32(r0, r1);
+            __m256i u1 = _mm256_unpackhi_epi32(r0, r1);
+            __m256i u2 = _mm256_unpacklo_epi32(r2, r3);
+            __m256i u3 = _mm256_unpackhi_epi32(r2, r3);
+            __m256i b = _mm256_permutevar8x32_epi32(
+                _mm256_unpacklo_epi64(u0, u2), perm);
+            __m256i g = _mm256_permutevar8x32_epi32(
+                _mm256_unpackhi_epi64(u0, u2), perm);
+            __m256i r = _mm256_permutevar8x32_epi32(
+                _mm256_unpacklo_epi64(u1, u3), perm);
+            const int64_t ob = rowbase + x;
+            const int64_t og = msz + ob;
+            const int64_t orr = 2 * msz + ob;
+            _mm256_storeu_si256((__m256i*)(packed + ob), b);
+            _mm256_storeu_si256((__m256i*)(packed + og), g);
+            _mm256_storeu_si256((__m256i*)(packed + orr), r);
+            if (DIFF) {
+                const uint32_t eb = (uint32_t)_mm256_movemask_epi8(
+                    _mm256_cmpeq_epi8(
+                        b, _mm256_loadu_si256((const __m256i*)(mirror + ob))));
+                const uint32_t eg = (uint32_t)_mm256_movemask_epi8(
+                    _mm256_cmpeq_epi8(
+                        g, _mm256_loadu_si256((const __m256i*)(mirror + og))));
+                const uint32_t er = (uint32_t)_mm256_movemask_epi8(
+                    _mm256_cmpeq_epi8(
+                        r, _mm256_loadu_si256((const __m256i*)(mirror + orr))));
+                mark_window(dirty, ob, ~eb);
+                mark_window(dirty, og, ~eg);
+                mark_window(dirty, orr, ~er);
+            }
+        }
+#endif
+        for (; x < mw; x++) {  // row tail (and the whole row without AVX2)
+            const uint8_t* px = row + (int64_t)x * 4;
+            const int64_t o = rowbase + x;
+            for (int c = 0; c < 3; c++) {
+                const int64_t oc = (int64_t)c * msz + o;
+                const uint8_t v = px[c];
+                packed[oc] = v;
+                if (DIFF && v != mirror[oc]) dirty[oc >> 5] = 1;
+            }
+        }
+    }
+
+    // Button ROI: interleaved BGR right after the planes (it is tiny).
+    const int64_t btn_base = 3 * msz;
+    for (int y = 0; y < bh; y++) {
+        const uint8_t* row = btn_bgra + (int64_t)y * btn_pitch;
+        for (int x = 0; x < bw; x++) {
+            const int64_t o = btn_base + ((int64_t)y * bw + x) * 3;
+            for (int c = 0; c < 3; c++) {
+                const uint8_t v = row[(int64_t)x * 4 + c];
+                packed[o + c] = v;
+                if (DIFF && v != mirror[o + c]) dirty[(o + c) >> 5] = 1;
+            }
+        }
+    }
+
+    // Zero the chunk-grid padding (mirrors are packed buffers, so their
+    // tails are zero too — compared anyway for safety).
+    const int64_t used = btn_base + (int64_t)bh * bw * 3;
+    for (int64_t o = used; o < total; o++) {
+        packed[o] = 0;
+        if (DIFF && mirror[o]) dirty[o >> 5] = 1;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fused planarize + delta diff. Packs the BGRA map ROI (row pitch
+// `map_pitch` bytes) as plane-major BGR into packed[0..3*mh*mw), the BGRA
+// button ROI interleaved-BGR after it, zeroes the tail up to `total`
+// (a multiple of 32), and — when `mirror` is non-NULL — marks every 32 B
+// sub-chunk whose bytes differ from mirror. `dirty` is caller scratch of
+// total/32 bytes (zeroed here). Changed sub-chunk indices are emitted to
+// out_idx in ascending order; returns the count, or -1 in pack-only mode.
+int smh_pack_diff(const uint8_t* map_bgra, int64_t map_pitch, int mh, int mw,
+                  const uint8_t* btn_bgra, int64_t btn_pitch, int bh, int bw,
+                  int64_t total, uint8_t* packed, const uint8_t* mirror,
+                  uint8_t* dirty, int32_t* out_idx) {
+    if (mirror == nullptr) {
+        pack_diff_impl<false>(map_bgra, map_pitch, mh, mw, btn_bgra,
+                              btn_pitch, bh, bw, total, packed, nullptr,
+                              nullptr);
+        return -1;
+    }
+    const int64_t n_sub = total >> 5;
+    std::memset(dirty, 0, (size_t)n_sub);
+    pack_diff_impl<true>(map_bgra, map_pitch, mh, mw, btn_bgra, btn_pitch,
+                         bh, bw, total, packed, mirror, dirty);
+    int n = 0;
+    int64_t i = 0;
+    for (; i + 8 <= n_sub; i += 8) {
+        uint64_t w;
+        std::memcpy(&w, dirty + i, 8);
+        if (!w) continue;
+        for (int k = 0; k < 8; k++)
+            if (dirty[i + k]) out_idx[n++] = (int32_t)(i + k);
+    }
+    for (; i < n_sub; i++)
+        if (dirty[i]) out_idx[n++] = (int32_t)i;
+    return n;
+}
 
 }  // extern "C"

@@ -103,6 +103,7 @@ class BatchPipeline:
 
         self._native = native if native.available() else None
         self._diff_scratch = None  # int32 index scratch for the native diff
+        self._dirty_scratch = None  # u8 sub-chunk bitmap for the fused diff
         self._pool = ThreadPoolExecutor(max_workers=max(1, host_workers), thread_name_prefix="batch-host")
         self._ocr_lock = threading.Lock()
         self._scales_cache: dict = {}
@@ -184,6 +185,60 @@ class BatchPipeline:
             fu.result()
         return out
 
+    def _pack_rois_fused(self, frames: list[np.ndarray], diff: bool):
+        """Fused native pack(+diff): one smh_pack_diff sweep per frame writes
+        its row of the batch buffer while comparing against the chain
+        predecessor (row i-1; row 0 against self._mirror) in registers —
+        the two-pass pack-then-diff re-read of each 10-28 MB row vanishes.
+        Output bytes and changed-index sets are identical to
+        _pack_rois + _delta_updates' diff loop (tests pin this). Returns
+        (rois, changed) with changed=None when diff is False."""
+        from .. import native
+        from .tpu_backend import _DELTA_CHUNK, _DELTA_SUB
+
+        g = self.geom
+        roi_bytes = (g.map_h * g.map_w + g.btn_h * g.btn_w) * 3
+        padded = ((roi_bytes + _DELTA_CHUNK - 1) // _DELTA_CHUNK) * _DELTA_CHUNK
+        out = self._rois_buf
+        self._rois_buf = None
+        if out is None or out.shape != (self.batch, padded):
+            out = np.empty((self.batch, padded), dtype=np.uint8)
+        out[len(frames) :] = 0
+        changed: "list[np.ndarray] | None" = None
+        if diff:
+            n_sub = padded // _DELTA_SUB
+            scratch = self._diff_scratch
+            if scratch is None or scratch.size < n_sub:
+                scratch = self._diff_scratch = np.empty(n_sub, np.int32)
+            dirty = self._dirty_scratch
+            if dirty is None or dirty.size < n_sub:
+                dirty = self._dirty_scratch = np.empty(n_sub, np.uint8)
+            changed = []
+        prev = self._mirror
+        for i, f in enumerate(frames):
+            m = f[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w]
+            b = f[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w]
+            if diff:
+                cnt = native.pack_diff(m, b, out[i], prev, dirty, scratch)
+                changed.append(
+                    np.zeros(1, dtype=np.int32) if cnt == 0 else scratch[:cnt].copy()
+                )
+            else:
+                native.pack_diff(m, b, out[i], None, None, None)
+            prev = out[i]
+        return out, changed
+
+    def _fused_ok(self, frames: list[np.ndarray]) -> bool:
+        import os as _os
+
+        if self._native is None or _os.environ.get("SMH_NATIVE_PACK", "1") == "0":
+            return False
+        return all(
+            f.ndim == 3 and f.shape[2] == 4 and f.dtype == np.uint8
+            and f.strides[2] == 1 and f.strides[1] == 4
+            for f in frames
+        )
+
     def _find_lines(self, crop_mask: np.ndarray, offset: tuple[int, int]) -> list[Line]:
         if crop_mask.size == 0:
             return []
@@ -217,9 +272,12 @@ class BatchPipeline:
             scales_img = lazy_scales_img()
         return mpx.calc_meters_to_px_ratio(scales, scales_img)
 
-    def _delta_updates(self, rois: np.ndarray, n: int):
+    def _delta_updates(self, rois: np.ndarray, n: int,
+                       changed: "list[np.ndarray] | None" = None):
         """Per-frame changed-chunk updates against the chain, or None when a
-        frame changed too much (the full batch upload wins)."""
+        frame changed too much (the full batch upload wins). `changed` may
+        carry the per-frame index sets the fused pack+diff already computed
+        (identical to what the loops below produce)."""
         from .tpu_backend import (
             _DELTA_CHUNK,
             _DELTA_SUB,
@@ -233,8 +291,10 @@ class BatchPipeline:
         # is the fallback.
         n_chunks = rois.shape[1] // _DELTA_CHUNK
         n_sub = n_chunks * (_DELTA_CHUNK // _DELTA_SUB)
-        changed: list[np.ndarray] = []
-        if self._native is not None:
+        if changed is not None:
+            assert len(changed) == n
+        elif self._native is not None:
+            changed = []
             scratch = self._diff_scratch
             if scratch is None or scratch.size < n_sub:
                 scratch = self._diff_scratch = np.empty(n_sub, np.int32)
@@ -247,6 +307,7 @@ class BatchPipeline:
                     changed.append(scratch[:cnt].copy())
                 prev = rois[i]
         else:
+            changed = []
             prev64 = self._mirror.view(np.uint64).reshape(n_chunks, -1)
             for i in range(n):
                 cur64 = rois[i].view(np.uint64).reshape(n_chunks, -1)
@@ -375,8 +436,24 @@ class BatchPipeline:
         g = self.geom
         assert frames and len(frames) <= self.batch
         n = len(frames)
+        roi_bytes = (g.map_h * g.map_w + g.btn_h * g.btn_w) * 3
+        padded = ((roi_bytes + _DELTA_CHUNK - 1) // _DELTA_CHUNK) * _DELTA_CHUNK
+        delta_ok = (
+            self.mesh is None  # see __init__: no cross-chip scan chains
+            and self.delta_mode not in ("0", "off")
+            and (self.delta_mode in ("1", "on") or padded >= _DELTA_MIN_BYTES)
+            and self._resident is not None
+            and self._mirror is not None
+            and self._mirror.size == padded
+        )
         t0 = time.perf_counter()
-        rois = self._pack_rois(frames)
+        changed = None
+        if self._fused_ok(frames):
+            # t_pack_ms then carries the fused pack+diff sweep; the residual
+            # t_diff_ms is bucket selection + upload-buffer gather only.
+            rois, changed = self._pack_rois_fused(frames, diff=delta_ok)
+        else:
+            rois = self._pack_rois(frames)
         t1 = time.perf_counter()
         self.stats["t_pack_ms"] += (t1 - t0) * 1000.0
 
@@ -413,15 +490,7 @@ class BatchPipeline:
             quiet_pallas=ops_pipeline.quiet_pallas_mode(),
             sparse_budget=self.sparse_budget,
         )
-        delta_ok = (
-            self.mesh is None  # see __init__: no cross-chip scan chains
-            and self.delta_mode not in ("0", "off")
-            and (self.delta_mode in ("1", "on") or rois.shape[1] >= _DELTA_MIN_BYTES)
-            and self._resident is not None
-            and self._mirror is not None
-            and self._mirror.size == rois.shape[1]
-        )
-        upd = self._delta_updates(rois, n) if delta_ok else None
+        upd = self._delta_updates(rois, n, changed) if delta_ok else None
         t2 = time.perf_counter()
         self.stats["t_diff_ms"] += (t2 - t1) * 1000.0
         if upd is not None:
