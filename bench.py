@@ -457,6 +457,28 @@ def measure_corpus(res: str, iters: int) -> dict:
     return out
 
 
+def measure_relay_floor(iters: int = 24) -> float:
+    """p50 of the MINIMAL dispatch->fetch roundtrip: an 8-int add on a
+    device-resident array, result fetched with np.asarray. No payload, no
+    pipeline — this is the link's intrinsic first-byte latency, the hard
+    floor under any synchronous per-frame number from this process. On a
+    PCIe-local TPU host the same probe measures ~0.2-0.5 ms; sync e2e minus
+    this floor is the portable pipeline cost."""
+    import statistics as st
+
+    import jax
+
+    x = jax.device_put(np.arange(8, dtype=np.int32))
+    f = jax.jit(lambda a, s: a + s)
+    np.asarray(f(x, np.int32(0)))  # compile + warm
+    lats = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(f(x, np.int32(i + 1)))  # distinct arg: no result reuse
+        lats.append((time.perf_counter() - t0) * 1000.0)
+    return st.median(lats)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", default="4k", choices=["4k", "1440p", "1080p"])
@@ -660,9 +682,20 @@ def main() -> None:
     # pipelined live loop, batch mode and the worker, whose numbers ride in
     # this same JSON. On a PCIe-local TPU host the identical code path's
     # fetch completes in ~10 us and sync e2e collapses to device + host.
+    # relay_floor_p50_ms RECORDS that floor in the same artifact: the
+    # minimal dispatch->fetch roundtrip (8 ints, no pipeline). value minus
+    # floor is the pipeline's own synchronous cost — the portable number.
+    try:
+        floor = measure_relay_floor()
+        out["relay_floor_p50_ms"] = round(floor, 3)
+        out["sync_minus_floor_ms"] = round(p50 - floor, 3)
+    except Exception as e:  # pragma: no cover - relay hiccup
+        print(f"relay floor probe failed: {e}", file=sys.stderr)
     out["sync_floor_note"] = (
         "sync p50 is bounded by the relay's ~35-45 ms background fetch "
-        "completion; see fps_pipelined / batched_ms_per_frame / worker_*"
+        "completion (relay_floor_p50_ms = the no-op dispatch->fetch p50 "
+        "from this run; sync_minus_floor_ms = the pipeline's own cost); "
+        "see fps_pipelined / batched_ms_per_frame / worker_*"
     )
     # Cold-start accounting: per-entry-point jit bucket counts for THIS
     # process (each bucket = one compile on a cold cache) + the observed
