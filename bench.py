@@ -313,11 +313,12 @@ def measure_worker(w: int, h: int, iters: int, stream_s: float = 6.0) -> dict:
     try:
         assert wc.wait_ready(timeout=900), "worker never became ready"
         frames = make_bench_frames(w, h)
-        lats = []
+        lats, sub_lats, pipe_lats = [], [], []
         for i in range(iters):
             img = frames[i % len(frames)]
             t0 = time.perf_counter()
             seq = wc.submit(img)
+            t_sub = time.perf_counter()
             if seq is None:  # worker restarting mid-measure: retry the frame
                 time.sleep(1.0)
                 continue
@@ -331,10 +332,19 @@ def measure_worker(w: int, h: int, iters: int, stream_s: float = 6.0) -> dict:
                         raise RuntimeError(f"no worker result for seq {seq}")
                     cond.wait(min(left, 10.0))
             lats.append((time.perf_counter() - t0) * 1000.0)
+            sub_lats.append((t_sub - t0) * 1000.0)
             msg = results.pop(seq)
             assert not msg["sleeping"] and msg["markers"], msg
+            if msg.get("ms") is not None:
+                pipe_lats.append(msg["ms"])  # worker-side process() time
         assert lats, "no worker latencies measured"
         out["worker_e2e_p50_ms"] = round(st.median(lats), 3)
+        # Decomposition: e2e = shm publish (client copy) + socket + worker
+        # pipeline (the "ms" the worker reports) + result line back. The
+        # difference between e2e and submit+pipeline is pure IPC/scheduling.
+        out["worker_submit_p50_ms"] = round(st.median(sub_lats), 3)
+        if pipe_lats:
+            out["worker_pipeline_p50_ms"] = round(st.median(pipe_lats), 3)
         # Streaming: saturate the ring; the worker's internal pipelining
         # overlaps its background fetches with the host stages.
         with cond:
