@@ -1,0 +1,47 @@
+"""CPU-mode smokes for bench.py's measurement plumbing: the driver runs
+`python bench.py` unattended at round end, so the helpers that feed the
+JSON-of-record get exercised here (on the forced-CPU 8-device conftest
+environment) rather than discovered broken on the recording run.
+
+The numbers themselves are meaningless on CPU — only shapes, fields and
+invariants are asserted.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, ".")
+
+import bench  # noqa: E402
+
+
+pytestmark = pytest.mark.slow
+
+
+def test_relay_floor_probe_returns_small_positive_float():
+    v = bench.measure_relay_floor(iters=5)
+    assert isinstance(v, float)
+    assert 0.0 < v < 1000.0  # CPU: microseconds; relay: ~25-45 ms
+
+
+def test_make_bench_frames_are_distinct_and_bgra():
+    frames = bench.make_bench_frames(960, 540)
+    assert len(frames) >= 2
+    for f in frames:
+        assert f.shape == (540, 960, 4) and f.dtype.kind == "u"
+    assert any((frames[0] != f).any() for f in frames[1:])
+
+
+def test_measure_worker_decomposition_fields():
+    """The worker metrics must carry the e2e AND its decomposition (shm
+    submit half + worker-side pipeline half) — a small resolution keeps the
+    child's warmup to seconds on CPU (960x540 is the worker-test shape;
+    bench frames need the BRQ region to fit its rendered scale text)."""
+    out = bench.measure_worker(960, 540, iters=3, stream_s=1.0)
+    assert out["worker_e2e_p50_ms"] > 0
+    assert 0 <= out["worker_submit_p50_ms"] <= out["worker_e2e_p50_ms"]
+    assert out["worker_pipeline_p50_ms"] > 0
+    assert out["worker_restarts"] == 0
