@@ -66,9 +66,12 @@ def test_device_minimap_rect_matches_host_walk():
     from smh_tpu.vision import find_minimap as fm
 
     rng = np.random.default_rng(11)
+    # Fixed shape buckets (12 random shapes would jit _minimap_rect 12
+    # times — ~50 s of this test's runtime was compiles, not checking).
+    # Content still varies every trial; shapes cover small/odd/rectangular.
+    shapes = [(24, 33), (25, 31), (96, 220), (180, 160)]
     for trial in range(12):
-        h = int(rng.integers(24, 180))
-        w = int(rng.integers(24, 220))
+        h, w = shapes[trial % len(shapes)]
         density = rng.uniform(0.3, 0.95)
         quiet = rng.random((h, w)) < density
         # Sometimes add a clean minimap-like quiet rectangle around centre.
