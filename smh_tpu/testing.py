@@ -157,7 +157,13 @@ def make_video_frames(w: int, h: int, n: int) -> list[np.ndarray]:
     g = C.map_geometry(w, h)
     frames = []
     for i in range(n):
-        off = 5 * i
+        # Bounded triangle-wave motion: equal to 5*i on the first rising
+        # edge (the golden-pinned frames 0..23 use off <= 115, unchanged),
+        # then the lines sweep back instead of drifting off-frame — long
+        # sequences (e.g. bench --batch 16 needs 350+ frames) keep both
+        # markers on screen at every supported resolution.
+        p = (5 * i) % 400
+        off = p if p < 200 else 400 - p
         frame = make_frame(
             w,
             h,
