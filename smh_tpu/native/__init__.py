@@ -127,6 +127,21 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # dirty scratch
             ctypes.c_void_p,  # out idx
         ]
+        lib.smh_pack_diff_roll.restype = ctypes.c_int
+        lib.smh_pack_diff_roll.argtypes = [
+            ctypes.c_void_p,  # map bgra
+            ctypes.c_int64,   # map pitch
+            ctypes.c_int,     # mh
+            ctypes.c_int,     # mw
+            ctypes.c_void_p,  # btn bgra
+            ctypes.c_int64,   # btn pitch
+            ctypes.c_int,     # bh
+            ctypes.c_int,     # bw
+            ctypes.c_int64,   # total
+            ctypes.c_void_p,  # roll (mirror in, packed out)
+            ctypes.c_void_p,  # dirty scratch
+            ctypes.c_void_p,  # out idx
+        ]
         lib.smh_find_lines_view.restype = ctypes.c_int
         lib.smh_find_lines_view.argtypes = [
             ctypes.c_void_p,
@@ -251,6 +266,44 @@ def pack_diff(
         mirror.ctypes.data_as(ctypes.c_void_p) if mirror is not None else None,
         dirty.ctypes.data_as(ctypes.c_void_p) if mirror is not None else None,
         out_idx.ctypes.data_as(ctypes.c_void_p) if mirror is not None else None,
+    )
+
+
+def pack_diff_roll(
+    map_roi: np.ndarray, btn_roi: np.ndarray, roll: np.ndarray,
+    dirty: np.ndarray, out_idx: np.ndarray,
+) -> int:
+    """In-place rolling pack+diff: `roll` is BOTH the diff base (previous
+    frame's packed bytes, which must equal the device-resident content) and
+    the output (this frame's packed bytes). Unchanged 32 B windows are
+    compared but never stored, so a mostly-static frame costs read
+    bandwidth only — the separate mirror buffer, its read, and the
+    full-buffer write of pack_diff all vanish. Same changed-index set and
+    final bytes as pack_diff against an equal-content mirror (pinned by
+    tests). Gather the changed payloads out of `roll` before the next
+    frame's call overwrites them."""
+    lib = load()
+    assert lib is not None
+    for roi in (map_roi, btn_roi):
+        assert roi.dtype == np.uint8 and roi.ndim == 3 and roi.shape[2] == 4
+        assert roi.strides[2] == 1 and roi.strides[1] == 4
+    assert roll.dtype == np.uint8 and roll.flags.c_contiguous
+    assert roll.size % 32 == 0
+    mh, mw = map_roi.shape[:2]
+    bh, bw = btn_roi.shape[:2]
+    assert roll.size >= (mh * mw + bh * bw) * 3
+    n_sub = roll.size // 32
+    assert dirty.dtype == np.uint8 and dirty.size >= n_sub
+    assert out_idx.dtype == np.int32 and out_idx.size >= n_sub
+    return lib.smh_pack_diff_roll(
+        map_roi.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(map_roi.strides[0]), mh, mw,
+        btn_roi.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(btn_roi.strides[0]), bh, bw,
+        ctypes.c_int64(roll.size),
+        roll.ctypes.data_as(ctypes.c_void_p),
+        dirty.ctypes.data_as(ctypes.c_void_p),
+        out_idx.ctypes.data_as(ctypes.c_void_p),
     )
 
 

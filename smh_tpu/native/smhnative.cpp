@@ -346,11 +346,19 @@ inline void mark_window(uint8_t* dirty, int64_t o, uint32_t mismatch) {
     if (mismatch & ~lowmask) dirty[(o >> 5) + 1] = 1;
 }
 
-template <bool DIFF>
+// INPLACE: `packed` doubles as the diff base (the rolling chain mirror) —
+// every window is COMPARED first and stored only on mismatch, so unchanged
+// content costs reads only (no RFO/write traffic) and the buffer rolls
+// forward to the current frame without a separate mirror. Produces the
+// same changed-index set as the out-of-place diff against a mirror whose
+// bytes equal the rolling buffer's pre-call content.
+template <bool DIFF, bool INPLACE>
 void pack_diff_impl(const uint8_t* map_bgra, int64_t map_pitch, int mh,
                     int mw, const uint8_t* btn_bgra, int64_t btn_pitch,
                     int bh, int bw, int64_t total, uint8_t* packed,
                     const uint8_t* mirror, uint8_t* dirty) {
+    static_assert(!INPLACE || DIFF, "INPLACE implies DIFF");
+    if (INPLACE) mirror = packed;
     const int64_t msz = (int64_t)mh * mw;
 
 #if defined(__AVX2__)
@@ -391,10 +399,9 @@ void pack_diff_impl(const uint8_t* map_bgra, int64_t map_pitch, int mh,
             const int64_t ob = rowbase + x;
             const int64_t og = msz + ob;
             const int64_t orr = 2 * msz + ob;
-            _mm256_storeu_si256((__m256i*)(packed + ob), b);
-            _mm256_storeu_si256((__m256i*)(packed + og), g);
-            _mm256_storeu_si256((__m256i*)(packed + orr), r);
             if (DIFF) {
+                // Compare BEFORE storing: in INPLACE mode the comparand IS
+                // the destination (mark_window splits straddling windows).
                 const uint32_t eb = (uint32_t)_mm256_movemask_epi8(
                     _mm256_cmpeq_epi8(
                         b, _mm256_loadu_si256((const __m256i*)(mirror + ob))));
@@ -404,9 +411,19 @@ void pack_diff_impl(const uint8_t* map_bgra, int64_t map_pitch, int mh,
                 const uint32_t er = (uint32_t)_mm256_movemask_epi8(
                     _mm256_cmpeq_epi8(
                         r, _mm256_loadu_si256((const __m256i*)(mirror + orr))));
+                if (!INPLACE || ~eb)
+                    _mm256_storeu_si256((__m256i*)(packed + ob), b);
+                if (!INPLACE || ~eg)
+                    _mm256_storeu_si256((__m256i*)(packed + og), g);
+                if (!INPLACE || ~er)
+                    _mm256_storeu_si256((__m256i*)(packed + orr), r);
                 mark_window(dirty, ob, ~eb);
                 mark_window(dirty, og, ~eg);
                 mark_window(dirty, orr, ~er);
+            } else {
+                _mm256_storeu_si256((__m256i*)(packed + ob), b);
+                _mm256_storeu_si256((__m256i*)(packed + og), g);
+                _mm256_storeu_si256((__m256i*)(packed + orr), r);
             }
         }
 #endif
@@ -416,8 +433,9 @@ void pack_diff_impl(const uint8_t* map_bgra, int64_t map_pitch, int mh,
             for (int c = 0; c < 3; c++) {
                 const int64_t oc = (int64_t)c * msz + o;
                 const uint8_t v = px[c];
-                packed[oc] = v;
+                // Compare first: INPLACE aliases mirror and packed.
                 if (DIFF && v != mirror[oc]) dirty[oc >> 5] = 1;
+                packed[oc] = v;
             }
         }
     }
@@ -430,8 +448,8 @@ void pack_diff_impl(const uint8_t* map_bgra, int64_t map_pitch, int mh,
             const int64_t o = btn_base + ((int64_t)y * bw + x) * 3;
             for (int c = 0; c < 3; c++) {
                 const uint8_t v = row[(int64_t)x * 4 + c];
-                packed[o + c] = v;
                 if (DIFF && v != mirror[o + c]) dirty[(o + c) >> 5] = 1;
+                packed[o + c] = v;
             }
         }
     }
@@ -440,9 +458,26 @@ void pack_diff_impl(const uint8_t* map_bgra, int64_t map_pitch, int mh,
     // tails are zero too — compared anyway for safety).
     const int64_t used = btn_base + (int64_t)bh * bw * 3;
     for (int64_t o = used; o < total; o++) {
-        packed[o] = 0;
         if (DIFF && mirror[o]) dirty[o >> 5] = 1;
+        packed[o] = 0;
     }
+}
+
+// Ascending changed sub-chunk indices from the dirty bitmap (shared by
+// both pack+diff entry points).
+int emit_dirty(const uint8_t* dirty, int64_t n_sub, int32_t* out_idx) {
+    int n = 0;
+    int64_t i = 0;
+    for (; i + 8 <= n_sub; i += 8) {
+        uint64_t w;
+        std::memcpy(&w, dirty + i, 8);
+        if (!w) continue;
+        for (int k = 0; k < 8; k++)
+            if (dirty[i + k]) out_idx[n++] = (int32_t)(i + k);
+    }
+    for (; i < n_sub; i++)
+        if (dirty[i]) out_idx[n++] = (int32_t)i;
+    return n;
 }
 
 }  // namespace
@@ -461,27 +496,38 @@ int smh_pack_diff(const uint8_t* map_bgra, int64_t map_pitch, int mh, int mw,
                   int64_t total, uint8_t* packed, const uint8_t* mirror,
                   uint8_t* dirty, int32_t* out_idx) {
     if (mirror == nullptr) {
-        pack_diff_impl<false>(map_bgra, map_pitch, mh, mw, btn_bgra,
-                              btn_pitch, bh, bw, total, packed, nullptr,
-                              nullptr);
+        pack_diff_impl<false, false>(map_bgra, map_pitch, mh, mw, btn_bgra,
+                                     btn_pitch, bh, bw, total, packed,
+                                     nullptr, nullptr);
         return -1;
     }
     const int64_t n_sub = total >> 5;
     std::memset(dirty, 0, (size_t)n_sub);
-    pack_diff_impl<true>(map_bgra, map_pitch, mh, mw, btn_bgra, btn_pitch,
-                         bh, bw, total, packed, mirror, dirty);
-    int n = 0;
-    int64_t i = 0;
-    for (; i + 8 <= n_sub; i += 8) {
-        uint64_t w;
-        std::memcpy(&w, dirty + i, 8);
-        if (!w) continue;
-        for (int k = 0; k < 8; k++)
-            if (dirty[i + k]) out_idx[n++] = (int32_t)(i + k);
-    }
-    for (; i < n_sub; i++)
-        if (dirty[i]) out_idx[n++] = (int32_t)i;
-    return n;
+    pack_diff_impl<true, false>(map_bgra, map_pitch, mh, mw, btn_bgra,
+                                btn_pitch, bh, bw, total, packed, mirror,
+                                dirty);
+    return emit_dirty(dirty, n_sub, out_idx);
+}
+
+// In-place rolling pack+diff: `roll` holds the previous frame's packed
+// bytes on entry (the chain mirror) and the CURRENT frame's on return.
+// Windows are compared before being (conditionally) stored, so unchanged
+// content pays read traffic only — no separate mirror buffer, no
+// read-for-ownership on the ~90% of the ROI that does not move between
+// frames. Changed 32 B sub-chunk indices (identical set and order to
+// smh_pack_diff against an equal-content mirror) go to out_idx; returns
+// the count. The caller must gather the changed payload bytes out of
+// `roll` before packing the next frame over it.
+int smh_pack_diff_roll(const uint8_t* map_bgra, int64_t map_pitch, int mh,
+                       int mw, const uint8_t* btn_bgra, int64_t btn_pitch,
+                       int bh, int bw, int64_t total, uint8_t* roll,
+                       uint8_t* dirty, int32_t* out_idx) {
+    const int64_t n_sub = total >> 5;
+    std::memset(dirty, 0, (size_t)n_sub);
+    pack_diff_impl<true, true>(map_bgra, map_pitch, mh, mw, btn_bgra,
+                               btn_pitch, bh, bw, total, roll, nullptr,
+                               dirty);
+    return emit_dirty(dirty, n_sub, out_idx);
 }
 
 }  // extern "C"

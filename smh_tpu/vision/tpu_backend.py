@@ -548,12 +548,31 @@ class TpuBackend:
             # layout while the bytes are compared in registers — the packed
             # buffer is never re-read from DRAM (4K: 1.7 ms vs 2.7 for
             # cv2.split + diff_subchunks; identical bytes and index set).
-            recycled = self._pack_pool.pop() if self._pack_pool else None
-            packed = (
-                recycled
-                if recycled is not None and recycled.size == total
-                else np.empty(total, dtype=np.uint8)
-            )
+            # In-place ROLLING pack+diff when the mirror is a private host
+            # buffer (_mirror_recyclable: it never rode a full upload's
+            # lazy device_put read) and the previous load WAS dispatched —
+            # an undispatched IN-PLACE load already rolled the mirror
+            # forward, desyncing it from the device resident, so that rare
+            # case reseeds the chain via a full upload. The mirror becomes
+            # this frame's packed buffer directly: no separate mirror
+            # read, no write pass (unchanged windows are compared in
+            # registers and never stored) — ~46.8 -> ~25 MB of DRAM
+            # traffic per 4K frame.
+            inplace = delta_eligible and self._mirror_recyclable
+            if inplace and self._pending is not None and (
+                self._pending_host is self._mirror
+            ):
+                inplace = False
+                delta_eligible = False  # poisoned chain base: reseed
+            if inplace:
+                packed = self._mirror
+            else:
+                recycled = self._pack_pool.pop() if self._pack_pool else None
+                packed = (
+                    recycled
+                    if recycled is not None and recycled.size == total
+                    else np.empty(total, dtype=np.uint8)
+                )
             if delta_eligible:
                 n_sub = total // _DELTA_SUB
                 scratch = self._diff_scratch
@@ -562,9 +581,14 @@ class TpuBackend:
                 dirty = self._dirty_scratch
                 if dirty is None or dirty.size < n_sub:
                     dirty = self._dirty_scratch = np.empty(n_sub, np.uint8)
-                n = native.pack_diff(
-                    map_roi, btn_roi, packed, self._mirror, dirty, scratch
-                )
+                if inplace:
+                    n = native.pack_diff_roll(
+                        map_roi, btn_roi, packed, dirty, scratch
+                    )
+                else:
+                    n = native.pack_diff(
+                        map_roi, btn_roi, packed, self._mirror, dirty, scratch
+                    )
                 if n == 0:
                     scratch[0] = 0  # flags may still differ: no-op chunk 0
                     n = 1
@@ -920,9 +944,15 @@ class TpuBackend:
         """Advance the diff base to the just-dispatched frame's pack buffer.
         The OLD mirror goes back to the pack pool iff its own dispatch rode
         the delta path (a fully-uploaded buffer is lazily read by the
-        device and must never be rewritten)."""
+        device and must never be rewritten). In-place rolling frames pack
+        INTO the mirror (old is the new pending_host) — nothing retires."""
         old = self._mirror
-        if old is not None and self._mirror_recyclable and len(self._pack_pool) < 2:
+        if (
+            old is not None
+            and old is not self._pending_host
+            and self._mirror_recyclable
+            and len(self._pack_pool) < 2
+        ):
             self._pack_pool.append(old)
         self._mirror = self._pending_host
         self._mirror_recyclable = recyclable_next

@@ -81,6 +81,15 @@ def test_fused_matches_two_pass(mh, mw, bh, bw, mutate):
     assert native.pack_diff(m2, b2, packed2, None, None, None) == -1
     assert np.array_equal(packed2, p_ref)
 
+    # In-place rolling mode: starting from the base's bytes, one call rolls
+    # the buffer to the current frame with the identical index set (the
+    # unchanged windows are compared but never stored).
+    roll = p_base.copy()
+    n_roll = native.pack_diff_roll(m2, b2, roll, dirty, idx)
+    assert n_roll == n_ref
+    assert np.array_equal(idx[:n_roll], idx_ref)
+    assert np.array_equal(roll, p_ref)
+
 
 def test_backend_fused_vs_twopass_uploads(monkeypatch):
     """The per-frame backend's pending upload (delta buffer or full pack)
@@ -94,7 +103,11 @@ def test_backend_fused_vs_twopass_uploads(monkeypatch):
         f0 = rng.integers(0, 256, (240, 320, 4), dtype=np.uint8)
         f1 = f0.copy()
         f1[100:120, 50:90] = 255
-        for f in (f0, f1):
+        # f2 exercises the IN-PLACE rolling path on the fused run: f1 rode
+        # the delta transport, so its mirror is private and writable.
+        f2 = f1.copy()
+        f2[10:14, 200:260] = 7
+        for f in (f0, f1, f2):
             b.load_frame(f)
             kind = b._pending[0]
             buf = b._pending[1]
