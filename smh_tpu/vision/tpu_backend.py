@@ -537,6 +537,13 @@ class TpuBackend:
             and self._mirror.size == total
             and self._resident is not None
         )
+        if fused and delta_eligible and os.environ.get("SMH_NATIVE_DIFF", "1") == "0":
+            # Debug escape hatch: the fused sweep always diffs natively, so
+            # forcing the numpy two-level refine requires dropping to the
+            # two-pass path for this frame (pack via cv2, then the refine
+            # below). Keeps SMH_NATIVE_DIFF=0 meaningful with the fused
+            # pack active (advisor r4).
+            fused = False
 
         # Delta H2D: diff against the HOST MIRROR of the device-resident
         # buffer (not simply the previous frame — a loaded-but-never-

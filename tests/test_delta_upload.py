@@ -96,6 +96,36 @@ def test_dropped_frame_does_not_poison_the_diff_base():
     assert lines_tuples(lines) == lines_tuples(ref)
 
 
+def test_inplace_roll_reseed_after_dropped_frame():
+    """The fused IN-PLACE rolling pack (pack_diff_roll writes into the
+    mirror itself) desyncs mirror from device-resident when its frame is
+    never dispatched; the NEXT load must detect the poisoned chain base
+    (tpu_backend.load_frame's `_pending_host is self._mirror` guard) and
+    reseed via a full upload whose decoded outputs equal a from-scratch
+    backend. Bar: the reference's buffer-reuse e2e test ran the pipeline
+    twice for this class of bug (/root/reference/vision-gpu/src/lib.rs:562-622).
+    """
+    from smh_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    be = make_backend("on")
+    detect(be, frame_with(0))  # full upload seeds the chain
+    detect(be, frame_with(3))  # delta: mirror becomes a private host buffer
+    if not be._mirror_recyclable:
+        pytest.skip("fused in-place path inactive (SMH_NATIVE_PACK=0?)")
+    be.load_frame(frame_with(6))  # in-place roll, never dispatched
+    assert be._pending is not None and be._pending_host is be._mirror
+    # The guard must fire: mirror says f6, device says f3 — reseed.
+    lines = detect(be, frame_with(9, brq_patch=True))
+    assert be.stats["full_uploads"] == 2
+    ref_be = make_backend("off")
+    ref = detect(ref_be, frame_with(9, brq_patch=True))
+    assert lines_tuples(lines) == lines_tuples(ref)
+    np.testing.assert_array_equal(be.ocr_preprocess(), ref_be.ocr_preprocess())
+    assert be._host["lsd_bbox"] == ref_be._host["lsd_bbox"]
+
+
 def test_big_change_falls_back_to_full_upload():
     be = make_backend("on")
     detect(be, frame_with(0))

@@ -93,10 +93,14 @@ def test_fused_matches_two_pass(mh, mw, bh, bw, mutate):
 
 def test_backend_fused_vs_twopass_uploads(monkeypatch):
     """The per-frame backend's pending upload (delta buffer or full pack)
-    must be identical with the fused path on and off."""
+    must be identical with the fused path on and off — and with the
+    SMH_NATIVE_DIFF=0 debug hatch, which must force the numpy refine even
+    while the native pack stays enabled (advisor r4: the hatch was silently
+    dead under the fused sweep)."""
     monkeypatch.setenv("SMH_DELTA", "1")
 
-    def run(fused: bool):
+    def run(fused: bool, native_diff: bool = True):
+        monkeypatch.setenv("SMH_NATIVE_DIFF", "1" if native_diff else "0")
         monkeypatch.setenv("SMH_NATIVE_PACK", "1" if fused else "0")
         b = tb.TpuBackend(lsd_engine="native")
         pendings = []
@@ -113,8 +117,13 @@ def test_backend_fused_vs_twopass_uploads(monkeypatch):
             buf = b._pending[1]
             pendings.append((kind, buf.copy(), b._pending[2:]))
             # advance the chain without a device: dispatch is not needed for
-            # the transport equality — emulate its mirror bookkeeping.
+            # the transport equality — emulate its mirror bookkeeping,
+            # INCLUDING clearing _pending first (dispatch() pops it before
+            # retiring the mirror; leaving it set makes load_frame's
+            # poisoned-chain guard fire, which only real undispatched
+            # loads should trigger — see test_inplace_roll_reseed below).
             b._resident = object()
+            b._pending = None
             b._retire_mirror(recyclable_next=(kind == "delta"))
         return pendings
 
@@ -122,10 +131,13 @@ def test_backend_fused_vs_twopass_uploads(monkeypatch):
     a = run(True)
     rng.bit_generator.state = rng_state
     c = run(False)
-    assert [x[0] for x in a] == [x[0] for x in c]
-    for (ka, ba, ta), (kc, bc, tc) in zip(a, c):
-        assert ta == tc
+    rng.bit_generator.state = rng_state
+    d = run(True, native_diff=False)  # numpy refine forced, pack native
+    assert [x[0] for x in a] == [x[0] for x in c] == [x[0] for x in d]
+    for (ka, ba, ta), (kc, bc, tc), (kd, bd, td) in zip(a, c, d):
+        assert ta == tc == td
         assert np.array_equal(ba, bc), ka
+        assert np.array_equal(ba, bd), ka
 
 
 def test_batch_fused_pack_matches_pool_pack():
