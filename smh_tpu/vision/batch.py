@@ -244,6 +244,67 @@ class BatchPipeline:
             prev = out[i]
         return out, changed
 
+    def _roll_delta(self, frames: list[np.ndarray]):
+        """Rolling fused pack+diff+gather for the batch delta path: the
+        chain mirror rolls frame-to-frame IN PLACE (native pack_diff_roll),
+        so unchanged windows are compared in registers and never stored —
+        the batch buffer write, the mirror read, and the end-of-submit
+        mirror copy of the two-pass path all vanish (the 4K batch is
+        pack-bound on the 1-core host; this is the per-frame path's
+        pack_diff_roll win applied across the batch). Each frame's changed
+        chunks are gathered out of the rolling buffer before the next
+        frame overwrites them. Returns (buf, bucket) with bytes identical
+        to _delta_updates over _pack_rois rows (pinned by tests), or None
+        when any frame overflows the delta ladder — the caller must then
+        reseed via the full batch upload (the mirror is mid-roll stale).
+        """
+        from .tpu_backend import _DELTA_SUB, _delta_bucket
+
+        native = self._native
+        g = self.geom
+        w = self._mirror
+        n_sub = w.size // _DELTA_SUB
+        scratch = self._diff_scratch
+        if scratch is None or scratch.size < n_sub:
+            scratch = self._diff_scratch = np.empty(n_sub, np.int32)
+        dirty = self._dirty_scratch
+        if dirty is None or dirty.size < n_sub:
+            dirty = self._dirty_scratch = np.empty(n_sub, np.uint8)
+        tmps: list[tuple[int, np.ndarray]] = []
+        for f in frames:
+            m = f[g.map_y : g.map_y + g.map_h, g.map_x : g.map_x + g.map_w]
+            b = f[g.btn_y : g.btn_y + g.btn_h, g.btn_x : g.btn_x + g.btn_w]
+            cnt = native.pack_diff_roll(m, b, w, dirty, scratch)
+            if cnt == 0:
+                scratch[0] = 0  # no-op keepalive chunk (flags may differ)
+                cnt = 1
+            if _delta_bucket(cnt, n_sub) is None:
+                return None  # ladder overflow: full upload wins
+            tmp = np.empty(cnt * 4 + cnt * _DELTA_SUB, dtype=np.uint8)
+            native.gather_subchunks(w, scratch, cnt, cnt, tmp)
+            tmps.append((cnt, tmp))
+        bucket = _delta_bucket(max(c for c, _ in tmps), n_sub)
+        assert bucket is not None  # every frame passed individually
+        bsz = self.batch
+        buf = np.empty(bsz * bucket * 4 + bsz * bucket * _DELTA_SUB, np.uint8)
+        idxs = buf[: bsz * bucket * 4].view(np.int32).reshape(bsz, bucket)
+        datas = buf[bsz * bucket * 4 :].reshape(bsz, bucket, _DELTA_SUB)
+        for i in range(bsz):
+            if i < len(tmps):
+                cnt, tmp = tmps[i]
+                ti = tmp[: cnt * 4].view(np.int32)
+                td = tmp[cnt * 4 :].reshape(cnt, _DELTA_SUB)
+                idxs[i, :cnt] = ti
+                idxs[i, cnt:] = ti[-1]
+                datas[i, :cnt] = td
+                datas[i, cnt:] = td[-1]
+            else:
+                # Padding rows replay chunk 0 of the last frame — exactly
+                # _delta_updates' ch=zeros(1) over rois[n-1].
+                idxs[i, :] = 0
+                datas[i, :] = w[:_DELTA_SUB]
+        return buf, bucket
+
     def _fused_ok(self, frames: list[np.ndarray]) -> bool:
         import os as _os
 
@@ -462,14 +523,29 @@ class BatchPipeline:
             and self._mirror is not None
             and self._mirror.size == padded
         )
+        import os as _os
+
         t0 = time.perf_counter()
         changed = None
-        if self._fused_ok(frames):
-            # t_pack_ms then carries the fused pack+diff sweep; the residual
-            # t_diff_ms is bucket selection + upload-buffer gather only.
-            rois, changed = self._pack_rois_fused(frames, diff=delta_ok)
-        else:
-            rois = self._pack_rois(frames)
+        rois = None
+        upd = None
+        rolled = False
+        fused = self._fused_ok(frames)
+        if fused and delta_ok and _os.environ.get("SMH_BATCH_ROLL", "1") != "0":
+            # Rolling in-place pack+diff+gather: no batch buffer write for
+            # unchanged windows, no mirror copy. t_pack_ms carries the
+            # whole sweep (diff is fused into it; t_diff_ms stays ~0).
+            upd = self._roll_delta(frames)
+            rolled = upd is not None
+            if not rolled:
+                delta_ok = False  # ladder overflow mid-roll: reseed full
+        if not rolled:
+            if fused:
+                # t_pack_ms then carries the fused pack+diff sweep; the
+                # residual t_diff_ms is bucket selection + gather only.
+                rois, changed = self._pack_rois_fused(frames, diff=delta_ok)
+            else:
+                rois = self._pack_rois(frames)
         t1 = time.perf_counter()
         self.stats["t_pack_ms"] += (t1 - t0) * 1000.0
 
@@ -479,8 +555,6 @@ class BatchPipeline:
         # frame's scales itself and host OCR vanishes from the batch loop
         # (fallback to the engine over that frame's scalespack on capacity
         # overflow). Others get the images inline (bit-packed if binary_ok).
-        import os as _os
-
         inline = "none"
         if with_ocr:
             if (
@@ -506,7 +580,8 @@ class BatchPipeline:
             quiet_pallas=ops_pipeline.quiet_pallas_mode(),
             sparse_budget=self.sparse_budget,
         )
-        upd = self._delta_updates(rois, n, changed) if delta_ok else None
+        if not rolled:
+            upd = self._delta_updates(rois, n, changed) if delta_ok else None
         t2 = time.perf_counter()
         self.stats["t_diff_ms"] += (t2 - t1) * 1000.0
         if upd is not None:
@@ -534,7 +609,8 @@ class BatchPipeline:
             self.stats["t_dispatch_ms"] += (time.perf_counter() - t3) * 1000.0
             self.stats["delta_batches"] += 1
             self.stats["h2d_bytes"] += buf.size
-            self._rois_buf = rois  # never left the host: recycle next batch
+            if rois is not None:
+                self._rois_buf = rois  # never left the host: recycle next batch
         else:
             rois_in = rois
             if self.mesh is not None:
@@ -556,8 +632,10 @@ class BatchPipeline:
 
         start_fetch(out["hostpack"])
         # Copy: a row view would keep the whole packed batch (~80 MB at 4K,
-        # B=8) alive in host RAM until the next submit replaces it.
-        self._mirror = rois[n - 1].copy()
+        # B=8) alive in host RAM until the next submit replaces it. The
+        # rolled path's mirror IS the chain tail already (rolled in place).
+        if not rolled:
+            self._mirror = rois[n - 1].copy()
         self._seq += 1
         return {
             "out": out, "n": n, "inline": inline, "with_ocr": with_ocr,

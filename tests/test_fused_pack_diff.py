@@ -140,20 +140,13 @@ def test_backend_fused_vs_twopass_uploads(monkeypatch):
         assert np.array_equal(ba, bd), ka
 
 
-def test_batch_fused_pack_matches_pool_pack():
+def _batch_skeleton(batch=4, w=320, h=240):
     from smh_tpu import consts as C
     from smh_tpu.vision.batch import BatchPipeline
 
-    class _Eng:
-        device_ok = False
-        binary_ok = False
-
-        def read(self, img, dpi):
-            return []
-
     bp = BatchPipeline.__new__(BatchPipeline)
-    bp.geom = C.map_geometry(320, 240)
-    bp.batch = 4
+    bp.geom = C.map_geometry(w, h)
+    bp.batch = batch
     bp._rois_buf = None
     bp._mirror = None
     bp._diff_scratch = None
@@ -164,6 +157,11 @@ def test_batch_fused_pack_matches_pool_pack():
     from concurrent.futures import ThreadPoolExecutor
 
     bp._pool = ThreadPoolExecutor(max_workers=2)
+    return bp
+
+
+def test_batch_fused_pack_matches_pool_pack():
+    bp = _batch_skeleton()
     frames = [
         rng.integers(0, 256, (240, 320, 4), dtype=np.uint8) for _ in range(3)
     ]
@@ -185,4 +183,42 @@ def test_batch_fused_pack_matches_pool_pack():
         exp = np.zeros(1, np.int32) if cnt == 0 else scratch[:cnt]
         assert np.array_equal(changed2[i], exp), i
         prev = ref[i]
+    bp._pool.shutdown()
+
+
+def test_batch_roll_delta_matches_delta_updates():
+    """The rolling in-place batch delta (_roll_delta) must produce the
+    byte-identical (buf, bucket) of the two-pass _pack_rois+_delta_updates
+    path, including partial batches (padding rows) and the no-change
+    keepalive — and leave the mirror equal to the last frame's pack."""
+    bp = _batch_skeleton(batch=4)
+    base = rng.integers(0, 256, (240, 320, 4), dtype=np.uint8)
+    # chain: base -> +patch A -> +patch B -> unchanged (no-op keepalive)
+    frames = [base.copy() for _ in range(3)]
+    frames[0][20:30, 40:80] ^= 0x3C
+    frames[1] = frames[0].copy()
+    frames[1][50:60, 100:140] ^= 0x5A
+    frames[2] = frames[1].copy()
+
+    def seed():
+        return bp._pack_rois([base])[0].copy()
+
+    bp._mirror = seed()
+    rois = bp._pack_rois(frames).copy()
+    exp = bp._delta_updates(rois, len(frames))
+    assert exp is not None
+
+    bp._mirror = seed()
+    got = bp._roll_delta(frames)
+    assert got is not None
+    assert got[1] == exp[1]
+    assert np.array_equal(got[0], exp[0])
+    assert np.array_equal(bp._mirror, rois[len(frames) - 1])
+
+    # Ladder overflow parity: a frame of noise must make BOTH paths bail.
+    noisy = [rng.integers(0, 256, (240, 320, 4), dtype=np.uint8)]
+    bp._mirror = seed()
+    assert bp._delta_updates(bp._pack_rois(noisy).copy(), 1) is None
+    bp._mirror = seed()
+    assert bp._roll_delta(noisy) is None
     bp._pool.shutdown()
