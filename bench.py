@@ -311,7 +311,15 @@ def measure_worker(w: int, h: int, iters: int, stream_s: float = 6.0) -> dict:
     wc = WorkerClient(w, h, on_result)
     out: dict = {}
     try:
-        assert wc.wait_ready(timeout=900), "worker never became ready"
+        # Progress-aware wait: the child streams warming heartbeats every
+        # ~15 s, so a congested compile can take as long as it takes while
+        # a dead/mute child fails in minutes — and the error NAMES the
+        # failure (exit code, warming progress, stderr tail) instead of
+        # round 4's bare "worker never became ready" after a flat 900 s.
+        if not wc.wait_ready_progress(idle_timeout=180.0, max_s=2400.0):
+            raise RuntimeError(f"worker not ready: {wc.diagnose()}")
+        if wc.ready_info is not None:
+            out["worker_warmup_s"] = wc.ready_info.get("warmup_s")
         frames = make_bench_frames(w, h)
         lats, sub_lats, pipe_lats = [], [], []
         for i in range(iters):
@@ -467,6 +475,76 @@ def measure_corpus(res: str, iters: int) -> dict:
     return out
 
 
+def measure_corpus_live(state, w: int, h: int, n_samples: int = 2,
+                        steps: int = 10) -> dict:
+    """Compact real-content measurement for FULL mode (VERDICT r4 item 5):
+    live-drag sequences over real reference screenshots (nearest-resampled
+    to the bench resolution), driven through the ALREADY-WARM bench state so
+    it costs ~n_samples*steps relay frames, not a rebuild. Reports the
+    steady live p50 + transport counters, and the map-switch cost (step 0:
+    an unrelated frame = full re-upload) decomposed against the measured
+    link bandwidth so the hiccup is attributed (pure link vs pipeline).
+    Source frames: /root/reference/vision-common/samples (1440p natives)."""
+    import pathlib
+    import statistics as st
+
+    from smh_tpu import testing
+    from smh_tpu.squadex.capture import Frame, load_frame_bgra
+
+    samples = pathlib.Path("/root/reference/vision-common/samples")
+    if not samples.is_dir():
+        return {}
+    names = sorted(
+        p.name for p in samples.glob("*.png")
+        if p.stat().st_size > 2_000_000  # full screenshots, not crops
+    )[:n_samples]
+    if not names:
+        return {}
+    # NB: the delegate's backend is created lazily on the first frame — and
+    # in full mode it already exists and is warm; read it afresh after the
+    # loop for the counter delta either way.
+    live_lat: list[float] = []
+    switch_lat: list[float] = []
+    stats0 = dict(getattr(state.delegate.backend, "stats", None) or {})
+    for n in names:
+        base = testing.upscale_frame(load_frame_bgra(str(samples / n)), w, h)
+        for step in range(steps):
+            f = base.copy()
+            testing.draw_marker_line(
+                f, (80 + 12 * step, 90 + 4 * step), (520 + 12 * step, 420)
+            )
+            t0 = time.perf_counter()
+            r = state.process(Frame(f, dpi=96))
+            dt = (time.perf_counter() - t0) * 1000.0
+            if step == 0:
+                switch_lat.append(dt)
+            elif step > 1:  # step 1 may still pay rung escalation
+                live_lat.append(dt)
+            assert r is not None
+    stats = {
+        k: v - stats0.get(k, 0)
+        for k, v in dict(
+            getattr(state.delegate.backend, "stats", None) or {}
+        ).items()
+    }
+    live_lat.sort()
+    n_frames = len(names) * steps
+    out = {
+        "corpus_live_p50_ms": round(st.median(live_lat), 3),
+        "corpus_live_frames": len(live_lat),
+        "corpus_live_sparse_misses": stats.get("lsd_sparse_misses"),
+        "corpus_live_h2d_bytes_per_frame": round(
+            stats.get("h2d_bytes", 0) / max(1, n_frames)
+        ),
+        # Map switch = unrelated frame = the delta chain reseeds with a full
+        # upload of the packed ROIs; at ~60 MB/s measured H2D this is link
+        # bandwidth, not pipeline (the decomposition the README carries).
+        "map_switch_p50_ms": round(st.median(switch_lat), 3),
+        "map_switch_full_uploads": stats.get("full_uploads"),
+    }
+    return out
+
+
 def measure_relay_floor(iters: int = 24) -> float:
     """p50 of the MINIMAL dispatch->fetch roundtrip: an 8-int add on a
     device-resident array, result fetched with np.asarray. No payload, no
@@ -569,7 +647,7 @@ def main() -> None:
             worker_metrics = measure_worker(w, h, 6 if args.quick else 12)
         except Exception as e:  # the in-process metrics must still record
             print(f"worker measurement failed: {e}", file=sys.stderr)
-            worker_metrics = {"worker_error": str(e)[:200]}
+            worker_metrics = {"worker_error": str(e)[:600]}
 
     state = build_state(ocr=args.ocr)
     frames = [Frame(f, dpi=96) for f in make_bench_frames(w, h)]
@@ -630,6 +708,13 @@ def main() -> None:
         dev_p50 = devfetch_p50 = float("nan")
     ratio = res.meters_to_px_ratio
     markers_detected = len(res.markers)
+    corpus_live: dict = {}
+    if args.mode == "full":
+        try:  # real-content numbers ride the artifact of record
+            corpus_live = measure_corpus_live(state, w, h)
+        except Exception as e:
+            print(f"corpus-live measurement failed: {e}", file=sys.stderr)
+            corpus_live = {"corpus_live_error": str(e)[:300]}
     state.close()
 
     if args.mode == "latency":
@@ -686,6 +771,7 @@ def main() -> None:
         out["fps_batched"] = round(1000.0 / batched_ms, 2)
         out["batched_stalled_batches"] = bstats_full.get("stalled_batches")
     out.update(worker_metrics)
+    out.update(corpus_live)
     # The sync p50 ("value") is RELAY-FLOORED: one frame's hostpack lands
     # ~35-45 ms after its dispatch from any client-side process (measured,
     # docs/DESIGN.md §3 round-4 probes) — the production shapes are the

@@ -216,18 +216,50 @@ def _serve(sock_path: str, shm_name: str, w: int, h: int) -> int:
         rbuf[:] = rest
         return line.decode()
 
+    send_lock = threading.Lock()
+
     def send(obj: dict) -> None:
-        wfile.write(json.dumps(obj) + "\n")
-        wfile.flush()
+        with send_lock:
+            wfile.write(json.dumps(obj) + "\n")
+            wfile.flush()
 
     # Warm the jit buckets for THIS resolution before reporting ready, so
     # the first real frame doesn't eat the compile (cache-hit: seconds).
+    # Warming events + a heartbeat flow to the client throughout: a cold
+    # compile through a congested remote compile service takes MINUTES per
+    # bucket, and the supervising client must be able to tell "slow
+    # compile" from "dead child" (round-4's bench burned a flat 900 s wait
+    # with zero diagnostics when this was silent).
     from . import testing
 
-    warm = testing.make_frame(w, h, marker_lines=[((50, 50), (200, 120))])
-    for _ in range(2):
-        state.process(Frame(warm, 96))
-    send({"event": "ready", "pid": os.getpid()})
+    t_warm = time.time()
+    send({"event": "warming", "step": 0, "total": 2, "elapsed_s": 0.0})
+    hb_stop = threading.Event()
+
+    def heartbeat() -> None:
+        while not hb_stop.wait(15.0):
+            try:
+                send({
+                    "event": "warming", "step": None, "total": 2,
+                    "elapsed_s": round(time.time() - t_warm, 1),
+                })
+            except Exception:
+                return
+
+    hb = threading.Thread(target=heartbeat, daemon=True, name="smh-warm-hb")
+    hb.start()
+    try:
+        warm = testing.make_frame(w, h, marker_lines=[((50, 50), (200, 120))])
+        for i in range(2):
+            state.process(Frame(warm, 96))
+            send({
+                "event": "warming", "step": i + 1, "total": 2,
+                "elapsed_s": round(time.time() - t_warm, 1),
+            })
+    finally:
+        hb_stop.set()
+    send({"event": "ready", "pid": os.getpid(),
+          "warmup_s": round(time.time() - t_warm, 1)})
 
     maps_on = [False]  # {"cmd": "maps", "on": true} from a viewer-ful client
     last_map_id = [0]
@@ -405,6 +437,16 @@ class WorkerClient:
         self._lock = threading.Lock()
         self._ready = threading.Event()
         self._closed = False
+        # Diagnostics: the child's stderr is teed to a file (compile
+        # tracebacks land there), every socket event stamps
+        # last_event_ts, and warming events carry the child's own warmup
+        # progress — diagnose() folds all of it into one line so a failed
+        # readiness wait names the actual failure.
+        self._stderr_path = os.path.join(sock_dir, tag + ".stderr")
+        self.last_event_ts: float = time.time()
+        self.last_warming: Optional[dict] = None
+        self.ready_info: Optional[dict] = None
+        self.last_exit_code: Optional[int] = None
         self._thread = threading.Thread(target=self._supervise, daemon=True, name="smh-worker-sup")
         self._thread.start()
 
@@ -414,15 +456,21 @@ class WorkerClient:
         env = dict(os.environ)
         if self._env:
             env.update(self._env)
-        self._proc = subprocess.Popen(
-            [
-                sys.executable, "-m", "smh_tpu.worker",
-                "--sock", self.sock_path, "--shm", self.shm_name,
-                "--width", str(self.w), "--height", str(self.h),
-            ],
-            env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
+        stderr_fh = open(self._stderr_path, "ab")
+        stderr_fh.write(b"\n--- spawn ---\n")
+        try:
+            self._proc = subprocess.Popen(
+                [
+                    sys.executable, "-m", "smh_tpu.worker",
+                    "--sock", self.sock_path, "--shm", self.shm_name,
+                    "--width", str(self.w), "--height", str(self.h),
+                ],
+                env=env,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                stderr=stderr_fh,
+            )
+        finally:
+            stderr_fh.close()  # the child holds its own fd now
 
     def _supervise(self) -> None:
         while not self._closed and self.restarts <= self._max_restarts:
@@ -447,7 +495,11 @@ class WorkerClient:
                 for line in rfile:
                     msg = json.loads(line)
                     ev = msg.get("event")
-                    if ev == "ready":
+                    self.last_event_ts = time.time()
+                    if ev == "warming":
+                        self.last_warming = msg
+                    elif ev == "ready":
+                        self.ready_info = msg
                         self._ready.set()
                         if self._maps_on:  # re-arm after a recycle restart
                             self._send_cmd({"cmd": "maps", "on": True})
@@ -473,9 +525,12 @@ class WorkerClient:
                     except subprocess.TimeoutExpired:
                         self._proc.kill()
                         self._proc.wait(timeout=10)
+                self.last_exit_code = self._proc.returncode
                 if not recycling and not self._closed:
                     log.warning("worker died rc=%s; restarting", self._proc.returncode)
             except Exception:
+                if self._proc is not None:
+                    self.last_exit_code = self._proc.poll()
                 if not self._closed:
                     log.exception("worker supervision error; restarting")
                     time.sleep(1.0)
@@ -490,6 +545,65 @@ class WorkerClient:
 
     def wait_ready(self, timeout: float = 600.0) -> bool:
         return self._ready.wait(timeout)
+
+    def wait_ready_progress(
+        self, idle_timeout: float = 180.0, max_s: float = 2400.0
+    ) -> bool:
+        """Progress-aware readiness wait: keep waiting while the child shows
+        signs of life (warming heartbeats arrive every ~15 s during even the
+        slowest compile), fail FAST when it stops — a dead child is detected
+        in ~idle_timeout instead of a flat-deadline burn (round 4's 900 s).
+        max_s bounds a pathological heartbeat-forever child."""
+        t0 = time.monotonic()
+        while not self._closed:
+            if self._ready.wait(5.0):
+                return True
+            now = time.monotonic()
+            if now - t0 > max_s:
+                return False
+            if time.time() - self.last_event_ts > idle_timeout:
+                # No event in the window: the supervisor is either between
+                # restarts or the child is wedged. Give restarts a chance
+                # only while the process object looks alive.
+                proc = self._proc
+                if proc is None or proc.poll() is not None:
+                    return False
+                if time.time() - self.last_event_ts > 2 * idle_timeout:
+                    return False  # alive but mute for 2 windows: give up
+        return False
+
+    def stderr_tail(self, n: int = 600) -> str:
+        try:
+            with open(self._stderr_path, "rb") as fh:
+                fh.seek(0, os.SEEK_END)
+                size = fh.tell()
+                fh.seek(max(0, size - n))
+                return fh.read().decode(errors="replace").strip()
+        except OSError:
+            return ""
+
+    def diagnose(self) -> str:
+        """One line naming the worker's current state — for error paths
+        (the bench's worker_error must say WHAT failed, not just that a
+        wait expired)."""
+        proc = self._proc
+        rc = proc.poll() if proc is not None else None
+        parts = [
+            f"ready={self._ready.is_set()}",
+            f"restarts={self.restarts}",
+            f"exit_code={rc if rc is not None else self.last_exit_code}",
+            f"last_event_age_s={round(time.time() - self.last_event_ts, 1)}",
+        ]
+        if self.last_warming is not None:
+            lw = self.last_warming
+            parts.append(
+                f"warming(step={lw.get('step')}/{lw.get('total')},"
+                f" elapsed_s={lw.get('elapsed_s')})"
+            )
+        tail = self.stderr_tail()
+        if tail:
+            parts.append("stderr: " + " | ".join(tail.splitlines()[-4:]))
+        return "; ".join(parts)
 
     def _send_cmd(self, obj: dict) -> bool:
         with self._lock:
@@ -553,6 +667,10 @@ class WorkerClient:
             self.ring.close(unlink=True)
             try:
                 os.unlink(self.sock_path)
+            except FileNotFoundError:
+                pass
+            try:
+                os.unlink(self._stderr_path)
             except FileNotFoundError:
                 pass
 

@@ -35,6 +35,26 @@ def test_make_bench_frames_are_distinct_and_bgra():
     assert any((frames[0] != f).any() for f in frames[1:])
 
 
+def test_measure_corpus_live_fields():
+    """Full mode folds a compact real-screenshot live-drag into the JSON of
+    record: steady live p50 + transport counters + the map-switch cost.
+    Shapes only on CPU; small resolution to bound jit time."""
+    from tests.conftest import reference_samples_available
+
+    if not reference_samples_available():
+        pytest.skip("reference samples absent")
+    state = bench.build_state()
+    try:
+        out = bench.measure_corpus_live(state, 960, 540, n_samples=1, steps=4)
+    finally:
+        state.close()
+    assert out["corpus_live_p50_ms"] > 0
+    assert out["map_switch_p50_ms"] > 0
+    assert out["corpus_live_frames"] == 2  # steps - map switch - escalation
+    assert out["corpus_live_h2d_bytes_per_frame"] > 0
+    assert out["map_switch_full_uploads"] >= 1
+
+
 def test_measure_worker_decomposition_fields():
     """The worker metrics must carry the e2e AND its decomposition (shm
     submit half + worker-side pipeline half) — a small resolution keeps the

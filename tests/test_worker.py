@@ -66,7 +66,11 @@ def test_worker_end_to_end():
     col = Collector()
     wc = WorkerClient(W, H, col)
     try:
-        assert wc.wait_ready(timeout=240)
+        assert wc.wait_ready_progress(idle_timeout=120, max_s=240)
+        # The child streamed warmup progress and stamped the ready event
+        # with its warmup wall time (the bench records it).
+        assert wc.last_warming is not None and wc.last_warming["total"] == 2
+        assert wc.ready_info is not None and wc.ready_info["warmup_s"] >= 0
         frames = make_frames(3)
         seqs = []
         for img in frames:
@@ -139,6 +143,30 @@ def test_worker_map_slot():
         g = C.map_geometry(W, H)
         assert rgba.shape == (g.map_h, g.map_w, 4)
         assert rgba[..., 3].min() == 255  # opaque RGBA, a real ui image
+    finally:
+        wc.close()
+
+
+def test_dead_worker_diagnosed_fast():
+    """A child that dies on startup must fail wait_ready_progress in
+    ~seconds (not a flat deadline) and diagnose() must name the failure:
+    exit code + the child's stderr tail (round 4's bench burned 900 s to
+    report 'worker never became ready' with zero diagnostics)."""
+    col = Collector()
+    t0 = time.monotonic()
+    # PYTHONHOME=/nonexistent kills the interpreter during startup (a bogus
+    # JAX_PLATFORMS is NOT enough — the delegate falls back to the numpy
+    # backend and the worker comes up healthy, by design).
+    wc = WorkerClient(
+        W, H, col, env={"PYTHONHOME": "/nonexistent"}, max_restarts=0
+    )
+    try:
+        assert not wc.wait_ready_progress(idle_timeout=6, max_s=60)
+        assert time.monotonic() - t0 < 55
+        d = wc.diagnose()
+        assert "ready=False" in d
+        assert "exit_code=" in d and "exit_code=None" not in d
+        assert "stderr:" in d  # the traceback tail is surfaced
     finally:
         wc.close()
 
