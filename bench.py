@@ -717,6 +717,7 @@ def main() -> None:
             corpus_live = {"corpus_live_error": str(e)[:300]}
     state.close()
 
+    batched_alt: dict = {}
     if args.mode == "latency":
         markers_p50 = None
         fps_pipelined = None
@@ -733,6 +734,21 @@ def main() -> None:
         # 10-20 s at random (~1-3 per run); a median over 6 could tip if a
         # run catches several, over 10 it stays the steady state.
         batched_ms, bstats_full = measure_batched(w, h, 3 if args.quick else 10, batch=args.batch)
+        # Secondary batched config for the artifact of record: 1080p B=16
+        # amortizes the per-batch relay fetch floor to ~2 ms/frame — the
+        # identified sub-8 ms/frame candidate (ROADMAP r5 item 0). Costs
+        # two extra bucket compiles; skipped in quick mode and when the
+        # bench already runs at 1080p.
+        if not args.quick and (w, h) != (1920, 1080):
+            try:
+                alt_ms, alt_stats = measure_batched(1920, 1080, 10, batch=16)
+                batched_alt = {
+                    "batched_1080p_b16_ms_per_frame": round(alt_ms, 3),
+                    "fps_batched_1080p_b16": round(1000.0 / alt_ms, 2),
+                    "batched_1080p_b16_stalled": alt_stats.get("stalled_batches"),
+                }
+            except Exception as e:
+                print(f"1080p B=16 batch failed: {e}", file=sys.stderr)
 
     out = {
         "metric": f"{args.res}_frame_to_markers_scales_p50_latency",
@@ -770,6 +786,7 @@ def main() -> None:
         out["batched_ms_per_frame"] = round(batched_ms, 3)
         out["fps_batched"] = round(1000.0 / batched_ms, 2)
         out["batched_stalled_batches"] = bstats_full.get("stalled_batches")
+        out.update(batched_alt)
     out.update(worker_metrics)
     out.update(corpus_live)
     # The sync p50 ("value") is RELAY-FLOORED: one frame's hostpack lands
