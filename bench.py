@@ -320,6 +320,7 @@ def measure_worker(w: int, h: int, iters: int, stream_s: float = 6.0) -> dict:
             raise RuntimeError(f"worker not ready: {wc.diagnose()}")
         if wc.ready_info is not None:
             out["worker_warmup_s"] = wc.ready_info.get("warmup_s")
+            out["worker_attach_s"] = wc.ready_info.get("attach_s")
         frames = make_bench_frames(w, h)
         lats, sub_lats, pipe_lats = [], [], []
         for i in range(iters):
@@ -649,6 +650,22 @@ def main() -> None:
             print(f"worker measurement failed: {e}", file=sys.stderr)
             worker_metrics = {"worker_error": str(e)[:600]}
 
+    # Client attach, timed APART from the warmup compiles: establishing this
+    # process's device session through the tunnel costs anywhere from ~0.1 s
+    # to 200+ s (measured: jax.devices() 0.09-10.2 s, first device_put
+    # 0.58-71.6 s across two runs minutes apart — tools/probe_cold_start.py).
+    # Folding that variance into warmup_s[0] made the cold start look like a
+    # compile problem (round-4's 262 s); it is mostly session establishment,
+    # which a PCIe-local TPU host pays in milliseconds. warmup_s below now
+    # measures what the FRAMEWORK owes: the jit bucket compiles.
+    t0 = time.perf_counter()
+    import jax
+
+    jax.devices()
+    np.asarray(jax.device_put(np.zeros(8, np.uint8)))
+    client_attach_s = round(time.perf_counter() - t0, 1)
+    print(f"client attach: {client_attach_s}s", file=sys.stderr, flush=True)
+
     state = build_state(ocr=args.ocr)
     frames = [Frame(f, dpi=96) for f in make_bench_frames(w, h)]
 
@@ -815,6 +832,7 @@ def main() -> None:
     # warmup wall times. The round-3 cold start was 980 s; the census makes
     # ladder growth a visible number instead of a mystery stall.
     out["jit_traces"] = ops_pipeline.trace_census()
+    out["client_attach_s"] = client_attach_s
     out["warmup_s"] = warmup_s
     print(json.dumps(out))
 

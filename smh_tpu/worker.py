@@ -235,6 +235,7 @@ def _serve(sock_path: str, shm_name: str, w: int, h: int) -> int:
     t_warm = time.time()
     send({"event": "warming", "step": 0, "total": 2, "elapsed_s": 0.0})
     hb_stop = threading.Event()
+    attach_s = [0.0]
 
     def heartbeat() -> None:
         while not hb_stop.wait(15.0):
@@ -249,6 +250,19 @@ def _serve(sock_path: str, shm_name: str, w: int, h: int) -> int:
     hb = threading.Thread(target=heartbeat, daemon=True, name="smh-warm-hb")
     hb.start()
     try:
+        # Attach the device session BEFORE the pipeline warmup so the two
+        # costs are separable in the ready event: session establishment
+        # through the tunnel is wildly variable (0.1-200+ s measured,
+        # tools/probe_cold_start.py) and is not a pipeline cost — a local
+        # TPU host pays it in milliseconds.
+        if state.settings.get("hardware_acceleration"):
+            import jax
+            import numpy as _np
+
+            t0 = time.time()
+            jax.devices()
+            _np.asarray(jax.device_put(_np.zeros(8, _np.uint8)))
+            attach_s[0] = round(time.time() - t0, 1)
         warm = testing.make_frame(w, h, marker_lines=[((50, 50), (200, 120))])
         for i in range(2):
             state.process(Frame(warm, 96))
@@ -259,7 +273,8 @@ def _serve(sock_path: str, shm_name: str, w: int, h: int) -> int:
     finally:
         hb_stop.set()
     send({"event": "ready", "pid": os.getpid(),
-          "warmup_s": round(time.time() - t_warm, 1)})
+          "warmup_s": round(time.time() - t_warm, 1),
+          "attach_s": attach_s[0]})
 
     maps_on = [False]  # {"cmd": "maps", "on": true} from a viewer-ful client
     last_map_id = [0]
