@@ -40,9 +40,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Persistent XLA compilation cache: first-compile of the fused pass through
 # the remote compile service can take minutes; cached reruns start instantly.
+# The env var alone is DEAD on jax 0.9.0 (config stays None) — the real
+# activation happens via smh_tpu.jax_cache.enable below; the env var is kept
+# so child processes (worker) inherit the same directory.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import numpy as np  # noqa: E402
+
+from smh_tpu import jax_cache  # noqa: E402
+
+jax_cache.enable()
 
 
 def build_engine(ocr: str):

@@ -576,6 +576,9 @@ def main(argv=None) -> int:
     import os
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+    from smh_tpu import jax_cache
+
+    jax_cache.enable()  # the env var alone is dead on jax 0.9.0
 
     ap = argparse.ArgumentParser(description="Squad Mortar Helper (TPU-native)")
     src = ap.add_mutually_exclusive_group()

@@ -398,7 +398,9 @@ def main(argv=None) -> int:
     ap.add_argument("--width", type=int, required=True)
     ap.add_argument("--height", type=int, required=True)
     args = ap.parse_args(argv)
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+    from smh_tpu import jax_cache
+
+    jax_cache.enable()  # the env var alone is dead on jax 0.9.0
     # Honor JAX_PLATFORMS even where a site hook registers a device plugin
     # programmatically (the axon hook overrides the env var; tests force
     # cpu the same way in tests/conftest.py).

@@ -65,3 +65,17 @@ def test_measure_worker_decomposition_fields():
     assert 0 <= out["worker_submit_p50_ms"] <= out["worker_e2e_p50_ms"]
     assert out["worker_pipeline_p50_ms"] > 0
     assert out["worker_restarts"] == 0
+
+
+def test_persistent_compilation_cache_is_actually_on():
+    """jax_cache.enable must take effect through jax.config (the env var
+    JAX_COMPILATION_CACHE_DIR is silently ignored by jax 0.9.0 — every
+    entry point in the repo relied on it and recompiled everything, which
+    is why round-4's 'fully-warm cache' cold start measured no better than
+    a fresh one)."""
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir, (
+        "conftest must activate the persistent cache via jax_cache.enable"
+    )
+    assert float(jax.config.jax_persistent_cache_min_compile_time_secs) <= 0.5

@@ -19,6 +19,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+from smh_tpu import jax_cache  # noqa: E402
+
+jax_cache.enable()  # the env var alone is dead on jax 0.9.0
 
 
 def main() -> int:

@@ -5,6 +5,9 @@
 import sys, json, pathlib, os
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+from smh_tpu import jax_cache  # noqa: E402
+
+jax_cache.enable()  # the env var alone is dead on jax 0.9.0
 import jax
 if "--tpu" not in sys.argv:
     os.environ["JAX_PLATFORMS"] = "cpu"

@@ -27,6 +27,9 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+from smh_tpu import jax_cache  # noqa: E402
+
+jax_cache.enable()  # the env var alone is dead on jax 0.9.0
 
 
 def rss_mb(pid: int) -> float:
