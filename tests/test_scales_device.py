@@ -191,12 +191,22 @@ def test_minimap_rect_pallas_interpret_parity():
     from smh_tpu.ops import pipeline as opp
 
     rng = np.random.default_rng(7)
-    for trial in range(8):
-        # Heights beyond QBAND_H exercise the multi-band partial merge (a
-        # packed-bits AND across bands; a min() there mis-merged and passed
-        # small single-band cases — caught on real 4K hardware).
-        h = int(rng.integers(40, 4 * pk.QBAND_H))
-        w = int(rng.integers(40, 400))
+    # Explicit height schedule instead of 8 random draws: interpret mode
+    # emulates the kernel per-pixel in Python, so each trial costs seconds —
+    # these four cover the regression classes the random sweep was buying
+    # (single band; just over one band; mid multi-band at an odd offset;
+    # deep multi-band, where a min() in the packed-bits AND across bands
+    # mis-merged and passed small single-band cases — caught on real 4K
+    # hardware). Widths stay random but bounded (width never changed band
+    # arithmetic; it only scales the interpret cost linearly).
+    heights = [
+        int(0.7 * pk.QBAND_H),
+        pk.QBAND_H + 3,
+        int(2.4 * pk.QBAND_H) + 1,
+        4 * pk.QBAND_H - 5,
+    ]
+    for trial, h in enumerate(heights):
+        w = int(rng.integers(40, 220))
         view = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         if trial % 2:
             # quiet box covering the centre but NOT the full candidate runs
