@@ -35,6 +35,9 @@ def enable(path: str | None = None, min_compile_secs: float = 0.3) -> str | None
     try:
         import jax
 
+        already = jax.config.jax_compilation_cache_dir
+        if already:  # first caller wins (conftest picks a test-only dir)
+            return already
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update(

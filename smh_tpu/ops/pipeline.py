@@ -52,8 +52,14 @@ import os
 import jax
 import jax.numpy as jnp
 
-from .. import consts as C
+from .. import consts as C, jax_cache
 from . import hsv
+
+# Every compile in the framework flows through this module's jit buckets, so
+# the persistent compilation cache is activated here — ad-hoc scripts that
+# import nothing but the pipeline still get warm starts (the env var alone
+# is dead on jax 0.9.0; an earlier enable() with a custom dir wins).
+jax_cache.enable()
 
 F32 = jnp.float32
 I32 = jnp.int32
