@@ -498,6 +498,7 @@ def measure_corpus_live(state, w: int, h: int, n_samples: int = 2,
 
     from smh_tpu import testing
     from smh_tpu.squadex.capture import Frame, load_frame_bgra
+    from smh_tpu.vision.pipeline import DebugBox
 
     samples = pathlib.Path("/root/reference/vision-common/samples")
     if not samples.is_dir():
@@ -513,6 +514,8 @@ def measure_corpus_live(state, w: int, h: int, n_samples: int = 2,
     # loop for the counter delta either way.
     live_lat: list[float] = []
     switch_lat: list[float] = []
+    switch_stages: dict[str, list[float]] = {}
+    switch_h2d: list[int] = []
     stats0 = dict(getattr(state.delegate.backend, "stats", None) or {})
     for n in names:
         base = testing.upscale_frame(load_frame_bgra(str(samples / n)), w, h)
@@ -521,11 +524,28 @@ def measure_corpus_live(state, w: int, h: int, n_samples: int = 2,
             testing.draw_marker_line(
                 f, (80 + 12 * step, 90 + 4 * step), (520 + 12 * step, 420)
             )
+            debug = DebugBox() if step == 0 else None
+            pre_h2d = (getattr(state.delegate.backend, "stats", None) or {}).get(
+                "h2d_bytes"
+            )
             t0 = time.perf_counter()
-            r = state.process(Frame(f, dpi=96))
+            r = state.process(Frame(f, dpi=96), debug=debug)
             dt = (time.perf_counter() - t0) * 1000.0
             if step == 0:
                 switch_lat.append(dt)
+                # Per-stage decomposition of the map-switch frame: the stage
+                # that dispatches+materializes the fused pass carries the
+                # full re-upload's call-time transfer, so the waterfall
+                # attributes the hiccup (link vs host pipeline) directly.
+                for k, v in debug.timeshares.as_dict().items():
+                    switch_stages.setdefault(k, []).append(v * 1000.0)
+                post_h2d = (
+                    getattr(state.delegate.backend, "stats", None) or {}
+                ).get("h2d_bytes")
+                if post_h2d is not None:  # pre is None when the lazy
+                    # backend was only created by this very frame (counter
+                    # started at 0 inside the call either way)
+                    switch_h2d.append(post_h2d - (pre_h2d or 0))
             elif step > 1:  # step 1 may still pay rung escalation
                 live_lat.append(dt)
             assert r is not None
@@ -550,7 +570,55 @@ def measure_corpus_live(state, w: int, h: int, n_samples: int = 2,
         "map_switch_p50_ms": round(st.median(switch_lat), 3),
         "map_switch_full_uploads": stats.get("full_uploads"),
     }
+    if switch_stages:
+        out["map_switch_stage_p50_ms"] = {
+            k: round(st.median(v), 2) for k, v in switch_stages.items()
+        }
+    if switch_h2d:
+        out["map_switch_h2d_bytes"] = int(st.median(switch_h2d))
+        # Attribution: expected pure-link time for the re-upload at the
+        # independently measured H2D bandwidth (probed below with a
+        # same-sized buffer through the identical call-time-transfer path).
+        try:
+            bw = measure_h2d_bandwidth(int(st.median(switch_h2d)))
+            out["h2d_mb_per_s"] = round(bw / 1e6, 1)
+            out["map_switch_link_ms_est"] = round(
+                st.median(switch_h2d) / bw * 1000.0, 1
+            )
+        except Exception as e:  # pragma: no cover - relay hiccup
+            print(f"h2d bandwidth probe failed: {e}", file=sys.stderr)
     return out
+
+
+def measure_h2d_bandwidth(nbytes: int, iters: int = 4) -> float:
+    """Bytes/s through the SAME path a full upload takes: host buffer passed
+    to a jitted program at call time (one relay exchange carries the bytes),
+    then a 1-element materialize to bound completion. Subtracts the no-op
+    roundtrip floor so the estimate is marginal link bandwidth, not floor."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def probe(x):
+        return x[:1] + 1
+
+    floor_t: list[float] = []
+    xfer_t: list[float] = []
+    tiny = np.zeros(8, np.uint8)
+    for i in range(iters):
+        buf = np.random.randint(0, 255, nbytes, np.uint8)  # defeat dedup
+        t0 = time.perf_counter()
+        np.asarray(probe(tiny))
+        t1 = time.perf_counter()
+        np.asarray(probe(buf))
+        t2 = time.perf_counter()
+        if i:  # first pair pays the two bucket compiles
+            floor_t.append(t1 - t0)
+            xfer_t.append(t2 - t1)
+    import statistics as st
+
+    marginal = max(1e-3, st.median(xfer_t) - st.median(floor_t))
+    return nbytes / marginal
 
 
 def measure_relay_floor(iters: int = 24) -> float:

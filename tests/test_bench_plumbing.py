@@ -53,6 +53,13 @@ def test_measure_corpus_live_fields():
     assert out["corpus_live_frames"] == 2  # steps - map switch - escalation
     assert out["corpus_live_h2d_bytes_per_frame"] > 0
     assert out["map_switch_full_uploads"] >= 1
+    # The switch-frame attribution (VERDICT r4 item 5): per-stage waterfall
+    # + the re-upload's size + expected pure-link time at probed bandwidth.
+    stages = out["map_switch_stage_p50_ms"]
+    assert stages.get("load_frame", 0) > 0 and "entire_frame" in stages
+    assert out["map_switch_h2d_bytes"] > 100_000  # full packed ROIs, not delta
+    assert out["map_switch_link_ms_est"] > 0
+    assert out["h2d_mb_per_s"] > 0
 
 
 def test_measure_worker_decomposition_fields():
