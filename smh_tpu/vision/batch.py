@@ -586,18 +586,27 @@ class BatchPipeline:
         self.stats["t_diff_ms"] += (t2 - t1) * 1000.0
         if upd is not None:
             buf, bucket = upd
-            # Pipelined delta chains must not dispatch against an
-            # unmaterialized resident: scan-over-scan dependency chains
-            # stall this relay for ~80 s at depth 4 (measured; full
-            # uploads don't). Barrier = the previous program finished.
-            # If the collector already fetched the previous hostpack
-            # (all outputs of a program materialize together) the
-            # barrier is free; otherwise poll the resident's is_ready()
-            # — a FREE local check (round-4 probe: 0.01 ms) where the
-            # round-3 1-byte tail fetch cost a ~30 ms relay exchange.
-            # Never WAIT on the collector: the device finishing is a
-            # strictly earlier event than the collector's fetch.
-            if self._fetched_seq < self._seq:
+            # Pipelined delta chains must not stack unboundedly many
+            # dispatches against unmaterialized residents: scan-over-scan
+            # dependency chains stall this relay for ~80 s at depth 4
+            # (measured; full uploads don't). Barrier = at most TWO
+            # unmaterialized batch programs when dispatching a delta —
+            # the per-frame driver tolerates two outstanding delta
+            # dispatches before its barrier (tpu_backend: gated on >=3),
+            # so this is strictly inside measured-safe territory. In the
+            # steady depth-2 stream exactly one batch is outstanding at
+            # submit time, so the barrier never fires there: readiness is
+            # learned when the background copy lands (~35-45 ms after
+            # dispatch on this relay), and an eager per-batch wait would
+            # serialize the pipeline on the latency being hidden
+            # (t_poke_ms measured ~70 ms/batch of submit-thread wall at
+            # 1080p B=16). When it does fire, it polls is_ready() — a
+            # FREE local check (round-4 probe: 0.01 ms) where the round-3
+            # 1-byte tail fetch cost a ~30 ms relay exchange.
+            # SMH_BATCH_BARRIER=eager reverts to the round-4 per-batch
+            # barrier (poke on ANY outstanding program) for A/B probes.
+            gate = 1 if _os.environ.get("SMH_BATCH_BARRIER") == "eager" else 2
+            if self._seq - self._fetched_seq >= gate:
                 from .tpu_backend import wait_ready
 
                 wait_ready(self._resident)
