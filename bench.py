@@ -822,10 +822,12 @@ def main() -> None:
         markers_p50 = amed
         astate.close()
         fps_pipelined = measure_pipelined_fps(w, h, 4.0 if args.quick else 8.0)
-        # 10 batches in full mode: the relay stalls single exchanges for
-        # 10-20 s at random (~1-3 per run); a median over 6 could tip if a
-        # run catches several, over 10 it stays the steady state.
-        batched_ms, bstats_full = measure_batched(w, h, 3 if args.quick else 10, batch=args.batch)
+        # 14 batches in full mode: the relay stalls single exchanges for
+        # 10-20 s at random (~1-3 per run) and drifts through multi-second
+        # slow bursts; a median over 6 could tip if a run catches several,
+        # over 14 it stays the steady state (each extra batch costs
+        # ~50-400 ms — negligible against the run).
+        batched_ms, bstats_full = measure_batched(w, h, 3 if args.quick else 14, batch=args.batch)
         # Secondary batched config for the artifact of record: 1080p B=16
         # amortizes the per-batch relay fetch floor to ~2 ms/frame — the
         # identified sub-8 ms/frame candidate (ROADMAP r5 item 0). Costs
@@ -833,7 +835,7 @@ def main() -> None:
         # bench already runs at 1080p.
         if not args.quick and (w, h) != (1920, 1080):
             try:
-                alt_ms, alt_stats = measure_batched(1920, 1080, 10, batch=16)
+                alt_ms, alt_stats = measure_batched(1920, 1080, 14, batch=16)
                 batched_alt = {
                     "batched_1080p_b16_ms_per_frame": round(alt_ms, 3),
                     "fps_batched_1080p_b16": round(1000.0 / alt_ms, 2),
