@@ -229,3 +229,54 @@ def test_stream_abandoned_early_collects_in_flight():
     tail = bp.process(seq[-4:])
     assert all(r.markers for r in tail)
     bp.close()
+
+
+def test_submit_barrier_gates_at_two_outstanding(monkeypatch):
+    """The delta-chain barrier is LAZY: a delta submit waits for the
+    previous program only when TWO dispatches are already unmaterialized
+    (the per-frame driver's proven-safe chain depth — see batch.py
+    submit()); SMH_BATCH_BARRIER=eager restores the round-4 poke on ANY
+    outstanding program. Results must be identical either way."""
+    from smh_tpu.vision import batch as batch_mod
+    from smh_tpu.vision import tpu_backend
+
+    seq = [
+        testing.make_frame(
+            1280, 720,
+            marker_lines=[((100 + 6 * i, 100 + 2 * i), (420 + 6 * i, 300))],
+        )
+        for i in range(16)
+    ]
+
+    def run(env):
+        if env:
+            monkeypatch.setenv("SMH_BATCH_BARRIER", env)
+        else:
+            monkeypatch.delenv("SMH_BATCH_BARRIER", raising=False)
+        waits = []
+        real_wait = tpu_backend.wait_ready
+        monkeypatch.setattr(
+            tpu_backend, "wait_ready",
+            lambda arr, **kw: (waits.append(1), real_wait(arr, **kw)),
+        )
+        bp = BatchPipeline(1280, 720, batch=4, ocr_engine=None)
+        bp.delta_mode = "on"
+        bp.process(seq[0:4])  # seed: full upload, fetched == seq
+        jobs = [bp.submit(seq[s : s + 4]) for s in (4, 8, 12)]
+        n_waits = len(waits)
+        results = [r for j in jobs for r in bp.collect(j)]
+        bp.close()
+        assert all(not r.sleeping and r.markers for r in results)
+        return n_waits, [
+            ((l.p0.x, l.p0.y), (l.p1.x, l.p1.y))
+            for r in results for l in r.markers
+        ]
+
+    lazy_waits, lazy_markers = run("")
+    eager_waits, eager_markers = run("eager")
+    # Lazy: submits at 0 and 1 outstanding pass free; only the third
+    # (2 outstanding) pays the barrier. Eager: every delta submit with any
+    # outstanding program pays it (submits 2 and 3 here).
+    assert lazy_waits == 1, f"lazy barrier fired {lazy_waits}x, want 1"
+    assert eager_waits == 2, f"eager barrier fired {eager_waits}x, want 2"
+    assert lazy_markers == eager_markers
