@@ -653,7 +653,12 @@ def main() -> None:
         "--mode", default="full",
         choices=["full", "latency", "batch", "stream", "worker", "corpus"],
     )
-    ap.add_argument("--batch", type=int, default=8)
+    # B=16 default: with the lazy chain barrier + rolling in-place pack the
+    # per-batch relay fetch floor amortizes over 2x the frames and 4K B=16
+    # beats B=8 in an interleaved same-process A/B (pooled 6.22 vs
+    # 7.47 ms/frame, B=16 won all 4 ABBA rounds — tools/ab_batch_barrier.py
+    # BATCH knob, r5). Round-4's "B=16 doesn't help at 4K" predates both.
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--ocr", default="smhocr", choices=["smhocr", "tesseract"],
                     help="tesseract = the ctypes binding (gray band transport)")
     ap.add_argument("--profile", metavar="DIR", default=None,

@@ -42,11 +42,14 @@ def main() -> None:
         if r % 2:
             pair.reverse()
         for val, key in pair:
-            if val:
+            b = batch
+            if knob == "BATCH":  # pseudo-knob: A/B the batch size itself
+                b = int(val)
+            elif val:
                 os.environ[knob] = val
             else:
                 os.environ.pop(knob, None)
-            ms, stats = bench.measure_batched(w, h, iters, batch=batch)
+            ms, stats = bench.measure_batched(w, h, iters, batch=b)
             out[key].append(round(ms, 2))
             print(
                 f"round {r} {knob}={val!r}: {ms:.2f} ms/frame  "
